@@ -1,0 +1,46 @@
+"""bgflow_tpu — a TPU-native Boltzmann-generator framework.
+
+A ground-up JAX/XLA/Pallas re-design of the capabilities of noegroup/bgflow:
+normalizing flows between easy priors and molecular Boltzmann densities,
+trained by NLL and/or reverse KL, with importance reweighting, MCMC and
+free-energy estimation — built for SPMD execution over TPU device meshes.
+"""
+
+from .core.flow import Flow, Inverse, Chain, Identity, Lambda
+from .core.structural import Split, Merge, Swap, Coupling, Wrap, SetConstant
+from .nets.dense import DenseNet, MeanFreeDenseNet, WrapPeriodic, WrapDistances
+from .transformers.base import Transformer
+from .transformers.affine import AffineTransformer
+from .transformers.spline import ConditionalSplineTransformer
+from .energies.base import Energy
+from .energies.double_well import (
+    DoubleWellEnergy,
+    MultiDimensionalDoubleWell,
+    MuellerEnergy,
+    ModifiedWolfeQuapp,
+)
+from .energies.particles import LennardJonesPotential, MultiDoubleWellPotential
+from .energies.clipped import LinLogCutEnergy, GradientClippedEnergy, linlogcut
+from .samplers.base import Sampler
+from .samplers.dataset import DataSetSampler
+from .distributions.normal import (
+    NormalDistribution,
+    TruncatedNormalDistribution,
+    MeanFreeNormalDistribution,
+    CircularNormalDistribution,
+)
+from .distributions.uniform import UniformDistribution
+from .distributions.mixture import MixtureDistribution
+from .distributions.product import ProductEnergy, ProductSampler, ProductDistribution
+from .bg import (
+    BoltzmannGenerator,
+    BGSample,
+    unnormalized_kl_div,
+    unnormalized_nll,
+    log_weights_given_latent,
+    effective_sample_size,
+    sampling_efficiency,
+)
+from .training.trainers import KLTrainer, LossReporter
+
+__version__ = "0.1.0"

@@ -1,0 +1,143 @@
+"""Boltzmann generator API.
+
+Reference: ``bgflow/bg.py:13-165``.  The BG couples a prior distribution, a
+flow, and a target energy; it is itself an energy (exact NLL via the inverse
+flow) and a sampler (prior -> forward flow).
+
+Everything here is a pure function of ``(params, key)`` — wrap any of the
+methods in ``jax.jit`` (they close over the static flow/prior/target objects)
+or in ``pjit`` with a sharded batch axis.
+"""
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from .core.flow import as_tuple
+from .energies.base import Energy
+from .samplers.base import Sampler
+
+
+def unnormalized_kl_div(params, prior, flow, target, key, n_samples, temperature=1.0):
+    """Reverse-KL estimator: u_target(F(z)) - log|det J_F|(z), z ~ prior."""
+    key_prior, key_flow = jax.random.split(key)
+    z = as_tuple(prior.sample(key_prior, n_samples, temperature=temperature))
+    x, dlogp = flow.forward(params, z, temperature=temperature, key=key_flow)
+    return target.energy(*x, temperature=temperature) - dlogp
+
+
+def unnormalized_nll(params, prior, flow, *x, temperature=1.0, key=None):
+    """Exact negative log-likelihood via the inverse flow."""
+    z, neg_dlogp = flow.forward(params, x, inverse=True, temperature=temperature, key=key)
+    return prior.energy(*z, temperature=temperature) - neg_dlogp
+
+
+def log_weights_given_latent(x, z, dlogp, prior, target, temperature=1.0, normalize=True):
+    """log w = u_prior(z) + dlogp - u_target(x) (+ logsumexp normalization)."""
+    x, z = as_tuple(x), as_tuple(z)
+    logw = (
+        prior.energy(*z, temperature=temperature)
+        + dlogp
+        - target.energy(*x, temperature=temperature)
+    )
+    if normalize:
+        logw = logw - jax.scipy.special.logsumexp(logw, axis=0)
+    return logw
+
+
+def effective_sample_size(log_weights):
+    """Kish ESS; log weights need not be normalized."""
+    return jnp.exp(
+        2.0 * jax.scipy.special.logsumexp(log_weights, axis=0)
+        - jax.scipy.special.logsumexp(2.0 * log_weights, axis=0)
+    )
+
+
+def sampling_efficiency(log_weights):
+    """Kish ESS / n."""
+    return effective_sample_size(log_weights) / log_weights.shape[0]
+
+
+class BGSample(NamedTuple):
+    """Everything ``BoltzmannGenerator.sample`` can produce (None if not requested)."""
+
+    xs: tuple
+    zs: Optional[tuple] = None
+    dlogp: Optional[jax.Array] = None
+    energy: Optional[jax.Array] = None
+    log_weights: Optional[jax.Array] = None
+    weights: Optional[jax.Array] = None
+
+    @property
+    def x(self):
+        return self.xs[0] if len(self.xs) == 1 else self.xs
+
+
+class BoltzmannGenerator(Energy, Sampler):
+    def __init__(self, prior, flow, target=None):
+        source = target if target is not None else prior
+        Energy.__init__(self, [list(s) for s in source.event_shapes])
+        Sampler.__init__(self)
+        self.prior = prior
+        self.flow = flow
+        self.target = target
+
+    def init(self, key):
+        return self.flow.init(key)
+
+    # -- sampling ----------------------------------------------------------
+    def sample(
+        self,
+        params,
+        key,
+        n_samples,
+        temperature=1.0,
+        with_latent=False,
+        with_dlogp=False,
+        with_energy=False,
+        with_log_weights=False,
+        with_weights=False,
+    ) -> BGSample:
+        key_prior, key_flow = jax.random.split(key)
+        z = as_tuple(self.prior.sample(key_prior, n_samples, temperature=temperature))
+        x, dlogp = self.flow.forward(params, z, temperature=temperature, key=key_flow)
+        out = dict(xs=x)
+        if with_latent:
+            out["zs"] = z
+        if with_dlogp:
+            out["dlogp"] = dlogp
+        if with_energy or with_log_weights or with_weights:
+            bg_energy = self.prior.energy(*z, temperature=temperature) + dlogp
+            if with_energy:
+                out["energy"] = bg_energy
+            if with_log_weights or with_weights:
+                target_energy = self.target.energy(*x, temperature=temperature)
+                logw = bg_energy - target_energy
+                if with_log_weights:
+                    out["log_weights"] = logw
+                if with_weights:
+                    out["weights"] = jax.nn.softmax(logw, axis=0)
+        return BGSample(**out)
+
+    # -- energy / losses ---------------------------------------------------
+    def energy(self, params, *x, temperature=1.0):
+        """NLL of x under the generator (up to the prior's normalization)."""
+        return unnormalized_nll(params, self.prior, self.flow, *x, temperature=temperature)
+
+    def kldiv(self, params, key, n_samples, temperature=1.0):
+        return unnormalized_kl_div(
+            params, self.prior, self.flow, self.target, key, n_samples, temperature=temperature
+        )
+
+    def log_weights(self, params, *x, temperature=1.0, normalize=True):
+        z, neg_dlogp = self.flow.forward(params, x, inverse=True, temperature=temperature)
+        return log_weights_given_latent(
+            x, z, -neg_dlogp, self.prior, self.target, temperature=temperature, normalize=normalize
+        )
+
+    def log_weights_given_latent(self, x, z, dlogp, temperature=1.0, normalize=True):
+        return log_weights_given_latent(
+            x, z, dlogp, self.prior, self.target, temperature=temperature, normalize=normalize
+        )

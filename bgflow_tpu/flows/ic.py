@@ -1,0 +1,527 @@
+"""Coordinate transforms: xyz <-> internal coordinates (z-matrix), PCA whitening.
+
+Reference semantics: ``bgflow/nn/flow/crd_transform/ic.py`` (884 LoC) and
+``ic_helper.py``.  The *forward* direction maps Cartesian xyz into
+(bonds, angles, torsions, fixed/origin/rotation); angles and torsions are
+normalized into (0, 1) by default.
+
+TPU-first design
+----------------
+* The z-matrix is decomposed into reconstruction *stages* at trace time
+  (host numpy); each stage places all its atoms at once as a dense batched
+  op, so the device sees an unrolled sequence of ~O(tree-depth) fused
+  kernels, each vectorized over (batch x atoms-in-stage).
+* All measurement log-dets come from 3 ``jax.jvp`` passes of the per-atom
+  (dist, angle, torsion) map (``ops/ic.py:jac_logdet_3``) instead of
+  hand-derived chain rules; the 9x9 reference-frame determinant uses 9 jvp
+  passes + ``slogdet`` instead of the reference's 24-permutation expansion
+  (``ic_helper.py:8-78``).
+* Gathers use static index arrays baked at trace time -> XLA emits
+  constant-offset gathers.
+"""
+from __future__ import annotations
+
+import math
+from typing import Optional, Sequence, Union
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..core.flow import Flow
+from ..ops import ic as icops
+
+__all__ = [
+    "decompose_z_matrix",
+    "slice_initial_atoms",
+    "RelativeInternalCoordinateTransformation",
+    "GlobalInternalCoordinateTransformation",
+    "MixedCoordinateTransformation",
+    "ReferenceSystemTransformation",
+    "WhitenFlow",
+]
+
+
+def decompose_z_matrix(z_matrix: np.ndarray, fixed: np.ndarray):
+    """Decompose a z-matrix into stages of simultaneously placeable atoms.
+
+    Reference: ``ic.py:25-91``.  Returns (blocks, index2atom, atom2index,
+    index2order) where each block is the (m, 4) sub-z-matrix of one stage.
+    """
+    z_matrix = np.asarray(z_matrix)
+    fixed = np.asarray(fixed)
+    atoms = [fixed]
+    blocks = []
+    given = np.sort(fixed)
+    non_given = ~np.isin(z_matrix[:, 0], given)
+    z_matrix = z_matrix[non_given]
+    # prepend row index of each torsion
+    z_matrix = np.concatenate([np.arange(len(z_matrix))[:, None], z_matrix], axis=1)
+    order = []
+    while len(z_matrix) > 0:
+        placeable = np.all(np.isin(z_matrix[:, 2:], given), axis=-1)
+        if not np.any(placeable):
+            raise ValueError(
+                "Z-matrix decomposition failed. Not reachable from fixed atoms: "
+                f"{z_matrix[:, 1]}"
+            )
+        pos = z_matrix[placeable, 0]
+        atom = z_matrix[placeable, 1]
+        atoms.append(atom)
+        order.append(pos)
+        blocks.append(z_matrix[placeable][:, 1:])
+        given = np.union1d(given, atom)
+        z_matrix = z_matrix[~placeable]
+    index2atom = np.concatenate(atoms)
+    atom2index = np.argsort(index2atom)
+    index2order = np.concatenate(order)
+    return blocks, index2atom, atom2index, index2order
+
+
+def slice_initial_atoms(z_matrix: np.ndarray):
+    """Pick the three seed atoms of a global z-matrix (rows containing -1).
+
+    Reference: ``ic.py:94-97``.
+    """
+    z_matrix = np.asarray(z_matrix)
+    s = np.sum(z_matrix == -1, axis=-1)
+    order = np.argsort(s)[::-1][:3]
+    return z_matrix[:, 0][order], z_matrix[s == 0]
+
+
+_TWO_PI = 2.0 * math.pi
+
+
+def normalize_torsions(torsions):
+    """[-pi, pi] -> (0, 1); returns (values, scalar dlogp)."""
+    out = (torsions + math.pi) / _TWO_PI
+    return out, -math.log(_TWO_PI) * torsions.shape[-1]
+
+
+def unnormalize_torsions(torsions):
+    out = torsions * _TWO_PI - math.pi
+    return out, math.log(_TWO_PI) * torsions.shape[-1]
+
+
+def normalize_angles(angles):
+    """[0, pi] -> (0, 1); returns (values, scalar dlogp)."""
+    return angles / math.pi, -math.log(math.pi) * angles.shape[-1]
+
+
+def unnormalize_angles(angles):
+    return angles * math.pi, math.log(math.pi) * angles.shape[-1]
+
+
+class RelativeInternalCoordinateTransformation(Flow):
+    """xyz <-> (bonds, angles, torsions, fixed-atom xyz).
+
+    Forward measures ICs of every z-matrix row (with the analytic 3x3
+    Jacobian determinant per conditioned atom); inverse reconstructs
+    Cartesian positions stage by stage (NeRF placement).
+    Reference: ``ic.py:268-513``.
+    """
+
+    def __init__(
+        self,
+        z_matrix: np.ndarray,
+        fixed_atoms: np.ndarray,
+        normalize_angles: bool = True,
+        eps: float = 1e-7,
+    ):
+        self._z_matrix = np.asarray(z_matrix)
+        self._fixed_atoms = np.asarray(fixed_atoms)
+        (self._blocks, self._index2atom, self._atom2index, self._index2order) = (
+            decompose_z_matrix(self._z_matrix, self._fixed_atoms)
+        )
+        self.normalize_angles = normalize_angles
+        self.eps = eps
+
+    # -- metadata ---------------------------------------------------------
+    @property
+    def z_matrix(self):
+        return self._z_matrix
+
+    @property
+    def fixed_atoms(self):
+        return self._fixed_atoms
+
+    @property
+    def dim_bonds(self):
+        return len(self._z_matrix)
+
+    dim_angles = dim_torsions = dim_bonds
+
+    @property
+    def dim_fixed(self):
+        return 3 * len(self._fixed_atoms)
+
+    @property
+    def bond_indices(self):
+        return self._z_matrix[:, :2]
+
+    @property
+    def angle_indices(self):
+        return self._z_matrix[:, :3]
+
+    @property
+    def torsion_indices(self):
+        return self._z_matrix[:, :4]
+
+    # -- directions -------------------------------------------------------
+    def _forward(self, params, xs, **kwargs):
+        (x,) = xs
+        n_batch = x.shape[0]
+        x = x.reshape(n_batch, -1, 3)
+        zm = self._z_matrix
+        x0 = x[:, zm[:, 0]]
+        x1 = x[:, zm[:, 1]]
+        x2 = x[:, zm[:, 2]]
+        x3 = x[:, zm[:, 3]]
+
+        def measure(p):
+            return (
+                icops.dist(p, x1, self.eps),
+                icops.angle(p, x1, x2, self.eps),
+                icops.torsion(p, x1, x2, x3, self.eps),
+            )
+
+        (bonds, angles, torsions), ld = icops.jac_logdet_3(measure, x0)
+        dlogp = jnp.sum(ld, axis=-1)
+
+        x_fixed = x[:, self._fixed_atoms].reshape(n_batch, -1)
+
+        if self.normalize_angles:
+            angles, dlogp_a = normalize_angles(angles)
+            torsions, dlogp_t = normalize_torsions(torsions)
+            dlogp = dlogp + dlogp_a + dlogp_t
+
+        return (bonds, angles, torsions, x_fixed), dlogp
+
+    def _inverse(self, params, xs, **kwargs):
+        bonds, angles, torsions, x_fixed = xs
+        dlogp = jnp.zeros(bonds.shape[0], dtype=bonds.dtype)
+        if self.normalize_angles:
+            angles, dlogp_a = unnormalize_angles(angles)
+            torsions, dlogp_t = unnormalize_torsions(torsions)
+            dlogp = dlogp + dlogp_a + dlogp_t
+
+        n_batch = x_fixed.shape[0]
+        x_init = x_fixed.reshape(n_batch, -1, 3)
+        n_fixed = x_init.shape[1]
+
+        # points accumulated in reconstruction order, stage by stage
+        points = x_init
+        for block in self._blocks:
+            ref = self._atom2index[block]  # recon-order indices of [atom, c1, c2, c3]
+            p1 = points[:, ref[:, 1]]
+            p2 = points[:, ref[:, 2]]
+            p3 = points[:, ref[:, 3]]
+            idx = self._index2order[ref[:, 0] - n_fixed]  # z-matrix rows of this stage
+            bat = jnp.stack([bonds[:, idx], angles[:, idx], torsions[:, idx]], axis=-1)
+
+            def place(bat_, p1=p1, p2=p2, p3=p3):
+                return icops.ic_to_xyz(
+                    p1, p2, p3, bat_[..., 0], bat_[..., 1], bat_[..., 2], eps=self.eps
+                )
+
+            p, ld = icops.jac_logdet_3(place, bat)
+            dlogp = dlogp + jnp.sum(ld, axis=-1)
+            points = jnp.concatenate([points, p], axis=1)
+
+        # reorder from reconstruction order back to atom order
+        points = points[:, self._atom2index]
+        return (points.reshape(n_batch, -1),), dlogp
+
+
+class ReferenceSystemTransformation(Flow):
+    """First-three-atom frame: xyz <-> (origin, Euler orientation, d01, d12, a012).
+
+    Reference: ``ic.py:128-265``; the 9x9 Jacobian determinant is computed
+    exactly via 9 jvp columns + slogdet.
+    """
+
+    def __init__(self, normalize_angles: bool = True, eps: float = 1e-7):
+        self.normalize_angles = normalize_angles
+        self.eps = eps
+
+    def _forward(self, params, xs, **kwargs):
+        x0, x1, x2 = xs  # each (B, 1, 3)
+        n_batch = x0.shape[0]
+        flat = jnp.concatenate(
+            [x0.reshape(n_batch, 3), x1.reshape(n_batch, 3), x2.reshape(n_batch, 3)], axis=-1
+        )
+
+        def measure(v):
+            p0, p1, p2 = v[..., 0:3], v[..., 3:6], v[..., 6:9]
+            d01 = icops.dist(p0, p1, self.eps)
+            d12 = icops.dist(p1, p2, self.eps)
+            a012 = icops.angle(p0, p1, p2, self.eps)
+            basis = icops.tripod(p0, p1, p2, self.eps)
+            alpha, cos_beta, gamma = icops.to_euler_angles(*basis)
+            return jnp.concatenate(
+                [p0, jnp.stack([d01, d12, a012, alpha, cos_beta, gamma], axis=-1)], axis=-1
+            )
+
+        ys, dlogp = icops.jac_logdet_general(measure, flat)
+        x0 = ys[..., 0:3].reshape(n_batch, 1, 3)
+        d01 = ys[..., 3:4]
+        d12 = ys[..., 4:5]
+        a012 = ys[..., 5:6]
+        alpha = ys[..., 6:7]
+        cos_beta = ys[..., 7:8]
+        gamma = ys[..., 8:9]
+
+        if self.normalize_angles:
+            a012, dl_a = normalize_angles(a012)
+            alpha, dl_al = normalize_torsions(alpha)
+            gamma, dl_g = normalize_torsions(gamma)
+            dlogp = dlogp + dl_a + dl_al + dl_g
+        orientation = jnp.concatenate([alpha, cos_beta, gamma], axis=-1)
+        return (x0, orientation, d01, d12, a012), dlogp
+
+    def _inverse(self, params, xs, **kwargs):
+        x0, orientation, d01, d12, a012 = xs
+        n_batch = x0.shape[0]
+        dlogp = jnp.zeros(n_batch, dtype=d01.dtype)
+        alpha = orientation[..., 0:1]
+        cos_beta = orientation[..., 1:2]
+        gamma = orientation[..., 2:3]
+        if self.normalize_angles:
+            alpha, dl_al = unnormalize_torsions(alpha)
+            gamma, dl_g = unnormalize_torsions(gamma)
+            a012, dl_a = unnormalize_angles(a012)
+            dlogp = dlogp + dl_al + dl_g + dl_a
+
+        flat = jnp.concatenate(
+            [x0.reshape(n_batch, 3), d01, d12, a012, alpha, cos_beta, gamma], axis=-1
+        )
+
+        def build(v):
+            p_origin = v[..., 0:3]
+            b01, b12, ang = v[..., 3], v[..., 4], v[..., 5]
+            al, cb, ga = v[..., 6], v[..., 7], v[..., 8]
+            p0 = jnp.zeros_like(p_origin)
+            p1 = jnp.zeros_like(p_origin).at[..., 2].set(b01)
+            p2 = icops.ic_to_xy0(p1, p0, b12, ang, eps=self.eps)
+            rot = icops.from_euler_angles(al, cb, ga, eps=self.eps)
+            y1 = jnp.einsum("...d,...ed->...e", p1, rot) + p_origin
+            y2 = jnp.einsum("...d,...ed->...e", p2, rot) + p_origin
+            return jnp.concatenate([p_origin, y1, y2], axis=-1)
+
+        ys, dl = icops.jac_logdet_general(build, flat)
+        dlogp = dlogp + dl
+        x0 = ys[..., 0:3].reshape(n_batch, 1, 3)
+        x1 = ys[..., 3:6].reshape(n_batch, 1, 3)
+        x2 = ys[..., 6:9].reshape(n_batch, 1, 3)
+        return (x0, x1, x2), dlogp
+
+
+class GlobalInternalCoordinateTransformation(Flow):
+    """Full xyz <-> (bonds, angles, torsions, origin, rotation).
+
+    Reference: ``ic.py:516-716``.  The first three atoms' frame goes through
+    ``ReferenceSystemTransformation``; the rest through the relative IC
+    transform.
+    """
+
+    def __init__(self, z_matrix, normalize_angles: bool = True, eps: float = 1e-7):
+        initial_atoms, z_sub = slice_initial_atoms(np.asarray(z_matrix))
+        self._rel_ic = RelativeInternalCoordinateTransformation(
+            z_matrix=z_sub, fixed_atoms=initial_atoms, normalize_angles=normalize_angles, eps=eps
+        )
+        self._ref_ic = ReferenceSystemTransformation(normalize_angles=normalize_angles, eps=eps)
+
+    @property
+    def z_matrix(self):
+        return self._rel_ic.z_matrix
+
+    @property
+    def fixed_atoms(self):
+        return np.array([], dtype=np.int64)
+
+    @property
+    def dim_bonds(self):
+        return len(self.z_matrix) + 2
+
+    @property
+    def dim_angles(self):
+        return len(self.z_matrix) + 1
+
+    @property
+    def dim_torsions(self):
+        return len(self.z_matrix)
+
+    @property
+    def dim_fixed(self):
+        return 0
+
+    @property
+    def bond_indices(self):
+        fix = self._rel_ic.fixed_atoms
+        return np.vstack([[[fix[1], fix[0]], [fix[2], fix[1]]], self._rel_ic.bond_indices])
+
+    @property
+    def angle_indices(self):
+        fix = self._rel_ic.fixed_atoms
+        return np.vstack([[[fix[2], fix[1], fix[0]]], self._rel_ic.angle_indices])
+
+    @property
+    def torsion_indices(self):
+        return self._rel_ic.torsion_indices
+
+    @property
+    def normalize_angles(self):
+        return self._rel_ic.normalize_angles
+
+    def _forward(self, params, xs, **kwargs):
+        (x,) = xs
+        n_batch = x.shape[0]
+        x = x.reshape(n_batch, -1, 3)
+        (bonds, angles, torsions, x_fixed), dlogp_rel = self._rel_ic._forward((), (x.reshape(n_batch, -1),))
+        x_fixed = x_fixed.reshape(n_batch, -1, 3)
+        (x0, rot, d01, d12, a012), dlogp_ref = self._ref_ic._forward(
+            (), (x_fixed[:, [0]], x_fixed[:, [1]], x_fixed[:, [2]])
+        )
+        bonds = jnp.concatenate([d01, d12, bonds], axis=-1)
+        angles = jnp.concatenate([a012, angles], axis=-1)
+        return (bonds, angles, torsions, x0, rot), dlogp_rel + dlogp_ref
+
+    def _inverse(self, params, xs, **kwargs):
+        bonds, angles, torsions, x0, rot = xs
+        d01 = bonds[:, 0:1]
+        d12 = bonds[:, 1:2]
+        a012 = angles[:, 0:1]
+        (x0, x1, x2), dlogp_ref = self._ref_ic._inverse((), (x0, rot, d01, d12, a012))
+        x_init = jnp.concatenate([x0, x1, x2], axis=1)
+        (x,), dlogp_rel = self._rel_ic._inverse(
+            (), (bonds[:, 2:], angles[:, 1:], torsions, x_init.reshape(x_init.shape[0], -1))
+        )
+        return (x,), dlogp_rel + dlogp_ref
+
+
+def _pca(x0: np.ndarray, keepdims: Optional[int] = None):
+    """Host-side PCA (reference ``pca.py:9-34``)."""
+    if keepdims is None:
+        keepdims = x0.shape[1]
+    mean = x0.mean(axis=0)
+    centered = x0 - mean
+    cov = centered.T @ centered / (centered.shape[0] - 1.0)
+    eigval, eigvec = np.linalg.eigh(cov)
+    order = np.argsort(eigval)[::-1][:keepdims]
+    eigval = eigval[order]
+    std = np.sqrt(eigval)
+    eigvec = eigvec[:, order]
+    t_whiten = eigvec @ np.diag(1.0 / std)
+    t_blacken = np.diag(std) @ eigvec.T
+    return mean, t_whiten, t_blacken, std
+
+
+class WhitenFlow(Flow):
+    """Static PCA whitening with constant log-det.
+
+    Reference: ``pca.py:37-107``.  ``whiten_inverse=True`` (default) whitens
+    in the *inverse* direction (latent -> data is the forward of the BG).
+    """
+
+    def __init__(self, x0, keepdims: Optional[int] = None, whiten_inverse: bool = True):
+        x0 = np.asarray(x0)
+        if keepdims is None:
+            keepdims = x0.shape[1]
+        self.dim = x0.shape[1]
+        self.keepdims = keepdims
+        self.whiten_inverse = whiten_inverse
+        mean, t_whiten, t_blacken, std = _pca(x0, keepdims)
+        if np.any(std <= 0):
+            raise ValueError("Cannot whiten: nonpositive eigenvalues kept.")
+        self.mean = jnp.asarray(mean)
+        self.t_whiten = jnp.asarray(t_whiten)
+        self.t_blacken = jnp.asarray(t_blacken)
+        self.jacobian_xz = float(-np.sum(np.log(std)))
+
+    def _whiten(self, x):
+        z = jnp.dot(x - self.mean, self.t_whiten, preferred_element_type=x.dtype)
+        return z, jnp.full(x.shape[:1], self.jacobian_xz, dtype=x.dtype)
+
+    def _blacken(self, z):
+        x = jnp.dot(z, self.t_blacken, preferred_element_type=z.dtype) + self.mean
+        return x, jnp.full(z.shape[:1], -self.jacobian_xz, dtype=z.dtype)
+
+    def _forward(self, params, xs, **kwargs):
+        (x,) = xs
+        y, dlogp = self._blacken(x) if self.whiten_inverse else self._whiten(x)
+        return (y,), dlogp
+
+    def _inverse(self, params, xs, **kwargs):
+        (x,) = xs
+        y, dlogp = self._whiten(x) if self.whiten_inverse else self._blacken(x)
+        return (y,), dlogp
+
+
+class MixedCoordinateTransformation(Flow):
+    """Relative IC transform + PCA whitening of the fixed atoms.
+
+    Reference: ``ic.py:719-885``.
+    """
+
+    def __init__(
+        self,
+        data,
+        z_matrix,
+        fixed_atoms,
+        keepdims: Optional[int] = None,
+        normalize_angles: bool = True,
+        eps: float = 1e-7,
+    ):
+        data = np.asarray(data)
+        n_data = data.shape[0]
+        fixed = data.reshape(n_data, -1, 3)[:, np.asarray(fixed_atoms)].reshape(n_data, -1)
+        self._whiten = WhitenFlow(fixed, keepdims=keepdims, whiten_inverse=False)
+        self._rel_ic = RelativeInternalCoordinateTransformation(
+            z_matrix=z_matrix, fixed_atoms=fixed_atoms, normalize_angles=normalize_angles, eps=eps
+        )
+
+    @property
+    def z_matrix(self):
+        return self._rel_ic.z_matrix
+
+    @property
+    def fixed_atoms(self):
+        return self._rel_ic.fixed_atoms
+
+    @property
+    def dim_bonds(self):
+        return len(self.z_matrix)
+
+    dim_angles = dim_torsions = dim_bonds
+
+    @property
+    def dim_fixed(self):
+        return self._whiten.keepdims
+
+    @property
+    def bond_indices(self):
+        return self._rel_ic.bond_indices
+
+    @property
+    def angle_indices(self):
+        return self._rel_ic.angle_indices
+
+    @property
+    def torsion_indices(self):
+        return self._rel_ic.torsion_indices
+
+    @property
+    def normalize_angles(self):
+        return self._rel_ic.normalize_angles
+
+    def _forward(self, params, xs, **kwargs):
+        (x,) = xs
+        (bonds, angles, torsions, x_fixed), dlogp_rel = self._rel_ic._forward((), (x,))
+        (z_fixed,), dlogp_ref = self._whiten._forward((), (x_fixed,))
+        return (bonds, angles, torsions, z_fixed), dlogp_rel + dlogp_ref
+
+    def _inverse(self, params, xs, **kwargs):
+        bonds, angles, torsions, z_fixed = xs
+        (x_fixed,), dlogp_ref = self._whiten._inverse((), (z_fixed,))
+        (x,), dlogp_rel = self._rel_ic._inverse((), (bonds, angles, torsions, x_fixed))
+        return (x,), dlogp_rel + dlogp_ref

@@ -1,0 +1,175 @@
+"""Conditioner networks.
+
+Small MLPs in the ``init/apply`` style.  A net is a static object with
+``init(key) -> params`` and ``apply(params, x) -> y``.  Matmuls are emitted as
+single ``jnp.dot`` calls so XLA can tile them onto the MXU and fuse the
+elementwise activations; with typical conditioner widths (64-512) a whole
+coupling block compiles into a handful of fused HLOs.
+
+Reference semantics: ``bgflow/nn/dense.py:9-54`` (DenseNet, MeanFreeDenseNet)
+and ``bgflow/nn/periodic.py:7-58`` (WrapPeriodic, WrapDistances).
+"""
+from __future__ import annotations
+
+import math
+from typing import Callable, Optional, Sequence, Union
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+
+class Net:
+    """Protocol: ``init(key) -> params``; ``apply(params, x) -> y``."""
+
+    def init(self, key):
+        raise NotImplementedError
+
+    def apply(self, params, x):
+        raise NotImplementedError
+
+    def __call__(self, params, x):
+        return self.apply(params, x)
+
+
+class DenseNet(Net):
+    """Multi-layer perceptron.
+
+    Parameters
+    ----------
+    units : sequence of ints — layer widths including input and output dim.
+    activation : callable or sequence of callables (one per hidden layer),
+        or None for a linear map.
+    weight_scale : multiplies the initial weights (reference
+        ``dense.py:33``); ``weight_scale=0`` with ``bias_scale=0`` yields the
+        identity-at-init flows used by the statistical tests.
+    bias_scale : if > 0, biases start uniform in [0, bias_scale); else zero.
+    """
+
+    def __init__(
+        self,
+        units: Sequence[int],
+        activation: Union[Callable, Sequence[Callable], None] = jax.nn.silu,
+        weight_scale: float = 1.0,
+        bias_scale: float = 0.0,
+    ):
+        self.units = tuple(int(u) for u in units)
+        n_hidden = len(self.units) - 2
+        if activation is None or callable(activation):
+            self.activations = (activation,) * n_hidden
+        else:
+            assert len(activation) == n_hidden
+            self.activations = tuple(activation)
+        self.weight_scale = float(weight_scale)
+        self.bias_scale = float(bias_scale)
+
+    @property
+    def dim_in(self):
+        return self.units[0]
+
+    @property
+    def dim_out(self):
+        return self.units[-1]
+
+    def init(self, key):
+        params = []
+        for din, dout in zip(self.units[:-1], self.units[1:]):
+            key, wkey, bkey = jax.random.split(key, 3)
+            # Kaiming-uniform fan-in init (matches torch.nn.Linear defaults)
+            bound = 1.0 / math.sqrt(din)
+            w = jax.random.uniform(wkey, (din, dout), minval=-bound, maxval=bound)
+            w = w * self.weight_scale
+            if self.bias_scale > 0.0:
+                b = jax.random.uniform(bkey, (dout,)) * self.bias_scale
+            else:
+                b = jnp.zeros((dout,))
+            params.append({"w": w, "b": b})
+        return params
+
+    def apply(self, params, x):
+        n_layers = len(self.units) - 1
+        for i, p in enumerate(params):
+            x = jnp.dot(x, p["w"], preferred_element_type=x.dtype) + p["b"]
+            if i < n_layers - 1:
+                act = self.activations[i]
+                if act is not None:
+                    x = act(x)
+        return x
+
+
+class MeanFreeDenseNet(DenseNet):
+    """DenseNet whose output is projected onto the mean-free subspace.
+
+    Reference: ``dense.py:51-54``.
+    """
+
+    def apply(self, params, x):
+        y = super().apply(params, x)
+        return y - jnp.mean(y, axis=-1, keepdims=True)
+
+
+class WrapPeriodic(Net):
+    """sin/cos-embed circular input features before feeding the net.
+
+    Indices in ``indices`` (static) are replaced by their (cos, sin) pair on
+    the circle of period ``right - left``; non-circular features pass through.
+    Output ordering is [cos(circ), sin(circ), noncirc], matching the
+    reference (``periodic.py:30-37``) so conditioner input dims line up as
+    ``n_noncircular + 2 * n_circular``.
+    """
+
+    def __init__(self, net: Net, left: float = 0.0, right: float = 1.0, indices=slice(None)):
+        self.net = net
+        self.left = float(left)
+        self.right = float(right)
+        self.indices = indices
+
+    def init(self, key):
+        return self.net.init(key)
+
+    def apply(self, params, x):
+        idx = np.arange(x.shape[-1])[self.indices]
+        other = np.setdiff1d(np.arange(x.shape[-1]), idx)
+        y = x[..., idx]
+        arg = 2 * jnp.pi * (y - self.left) / (self.right - self.left)
+        x = jnp.concatenate([jnp.cos(arg), jnp.sin(arg), x[..., other]], axis=-1)
+        return self.net.apply(params, x)
+
+
+class WrapDistances(Net):
+    """Replace a block of flattened xyz features by their pairwise distances.
+
+    Reference: ``periodic.py:40-58``; output ordering [other, distances].
+    """
+
+    def __init__(self, net: Net, indices=slice(None)):
+        self.net = net
+        self.indices = indices
+
+    def init(self, key):
+        return self.net.init(key)
+
+    def apply(self, params, x):
+        idx = np.arange(x.shape[-1])[self.indices]
+        other = np.setdiff1d(np.arange(x.shape[-1]), idx)
+        pts = x[..., idx].reshape(*x.shape[:-1], -1, 3)
+        diff = pts[..., :, None, :] - pts[..., None, :, :]
+        d2 = jnp.sum(diff * diff, axis=-1)
+        n = pts.shape[-2]
+        iu, ju = np.triu_indices(n, k=1)
+        dists = jnp.sqrt(jnp.clip(d2[..., iu, ju], 1e-12))
+        x = jnp.concatenate([x[..., other], dists], axis=-1)
+        return self.net.apply(params, x)
+
+
+class Lambda(Net):
+    """A parameter-free function as a Net."""
+
+    def __init__(self, fn):
+        self.fn = fn
+
+    def init(self, key):
+        return ()
+
+    def apply(self, params, x):
+        return self.fn(x)

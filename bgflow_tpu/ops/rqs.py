@@ -1,0 +1,204 @@
+"""Monotone rational-quadratic spline — forward/inverse with log-det.
+
+In-repo replacement for the reference's external ``nflows`` dependency
+(``bgflow/nn/flow/transformer/spline.py:129,160``); the math spec is Durkan et
+al., *Neural Spline Flows* (arXiv:1906.04032) and the reference's own tabulated
+implementation ``bgflow/nn/flow/spline.py:60-191``.
+
+TPU design notes
+----------------
+* Fully branchless.  The bin search is a comparison-sum over the (small) bin
+  axis instead of ``searchsorted`` — a (..., D, K) broadcast compare + reduce
+  is a handful of VPU ops, vectorizes over batch and feature dims, and fuses
+  with the surrounding arithmetic under XLA.  No gathers besides one
+  ``take_along_axis`` per bin quantity.
+* Both directions are closed-form (the inverse solves the quadratic), so
+  forward and inverse cost the same — no bisection needed.
+* Everything is (..., D)-shaped elementwise math: XLA fuses the whole spline
+  (including the conditioner matmul that produced the params) into one kernel.
+"""
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+DEFAULT_MIN_BIN_WIDTH = 1e-3
+DEFAULT_MIN_BIN_HEIGHT = 1e-3
+DEFAULT_MIN_DERIVATIVE = 1e-3
+
+
+def _normalize_bins(unnormalized, num_bins, min_size, total):
+    """softmax-normalize bin sizes with a minimum size, scaled to ``total``."""
+    w = jax.nn.softmax(unnormalized, axis=-1)
+    w = min_size + (1.0 - min_size * num_bins) * w
+    return w * total
+
+
+def _search_bins(cum, x):
+    """Index of the bin containing x.  ``cum``: (..., K+1) ascending edges."""
+    # compare against interior edges only; clip handles x at/beyond the ends
+    idx = jnp.sum(x[..., None] >= cum[..., 1:-1], axis=-1)
+    return jnp.clip(idx, 0, cum.shape[-1] - 2)
+
+
+def _gather(vals, idx):
+    return jnp.take_along_axis(vals, idx[..., None], axis=-1)[..., 0]
+
+
+def rq_spline_core(x, cumx, cumy, derivatives, inverse=False):
+    """Evaluate the spline given explicit knots.
+
+    Parameters
+    ----------
+    x : (..., D) inputs (must lie within the domain; clamp beforehand).
+    cumx, cumy : (..., D, K+1) ascending knot positions / values.
+    derivatives : (..., D, K+1) strictly positive knot slopes.
+
+    Returns
+    -------
+    y : (..., D) outputs.
+    ldj : (..., D) elementwise log |dy/dx| (negated already for inverse).
+    """
+    widths = cumx[..., 1:] - cumx[..., :-1]
+    heights = cumy[..., 1:] - cumy[..., :-1]
+    delta = heights / widths
+
+    bin_idx = _search_bins(cumy if inverse else cumx, x)
+
+    xk = _gather(cumx, bin_idx)
+    yk = _gather(cumy, bin_idx)
+    wk = _gather(widths, bin_idx)
+    hk = _gather(heights, bin_idx)
+    dk = _gather(delta, bin_idx)
+    sk = _gather(derivatives, bin_idx)
+    sk1 = _gather(derivatives, bin_idx + 1)
+    s_sum = sk + sk1 - 2.0 * dk
+
+    if inverse:
+        dy = x - yk
+        a = dy * s_sum + hk * (dk - sk)
+        b = hk * sk - dy * s_sum
+        c = -dk * dy
+        discriminant = b * b - 4.0 * a * c
+        # theta = 2c / (-b - sqrt(disc)) — the numerically stable root
+        theta = (2.0 * c) / (-b - jnp.sqrt(jnp.maximum(discriminant, 0.0)))
+        theta = jnp.clip(theta, 0.0, 1.0)
+        y = theta * wk + xk
+    else:
+        theta = (x - xk) / wk
+        theta = jnp.clip(theta, 0.0, 1.0)
+        numerator = hk * (dk * theta**2 + sk * theta * (1.0 - theta))
+        denominator_f = dk + s_sum * theta * (1.0 - theta)
+        y = yk + numerator / denominator_f
+
+    t1m = theta * (1.0 - theta)
+    denominator = dk + s_sum * t1m
+    deriv_numerator = dk * dk * (sk1 * theta**2 + 2.0 * dk * t1m + sk * (1.0 - theta) ** 2)
+    ldj = jnp.log(deriv_numerator) - 2.0 * jnp.log(denominator)
+    if inverse:
+        ldj = -ldj
+    return y, ldj
+
+
+def rq_spline_params(
+    unnormalized_widths,
+    unnormalized_heights,
+    unnormalized_derivatives,
+    left=0.0,
+    right=1.0,
+    bottom=0.0,
+    top=1.0,
+    min_bin_width=DEFAULT_MIN_BIN_WIDTH,
+    min_bin_height=DEFAULT_MIN_BIN_HEIGHT,
+    min_derivative=DEFAULT_MIN_DERIVATIVE,
+    identity_init=True,
+):
+    """Convert raw network outputs to spline knots.
+
+    With ``identity_init`` (reference ``transformer/spline.py:76-78``, nflows
+    PR#65), the derivative parametrization is shifted so that all-zero raw
+    params give unit slopes → the spline is exactly the identity at init.
+
+    Returns (cumx, cumy, derivatives) with shapes (..., D, K+1).
+    """
+    num_bins = unnormalized_widths.shape[-1]
+    widths = _normalize_bins(unnormalized_widths, num_bins, min_bin_width, right - left)
+    heights = _normalize_bins(unnormalized_heights, num_bins, min_bin_height, top - bottom)
+    cumx = left + jnp.concatenate(
+        [jnp.zeros_like(widths[..., :1]), jnp.cumsum(widths, axis=-1)], axis=-1
+    )
+    cumy = bottom + jnp.concatenate(
+        [jnp.zeros_like(heights[..., :1]), jnp.cumsum(heights, axis=-1)], axis=-1
+    )
+    # pin the outer edges exactly (cumsum rounding)
+    cumx = cumx.at[..., -1].set(right)
+    cumy = cumy.at[..., -1].set(top)
+    if identity_init:
+        # softplus(x + c) where c chosen s.t. raw 0 -> derivative exactly 1
+        shift = float(np.log(np.expm1(1.0 - min_derivative)))
+        derivatives = min_derivative + jax.nn.softplus(unnormalized_derivatives + shift)
+    else:
+        derivatives = min_derivative + jax.nn.softplus(unnormalized_derivatives)
+    return cumx, cumy, derivatives
+
+
+def rq_spline(
+    x,
+    unnormalized_widths,
+    unnormalized_heights,
+    unnormalized_derivatives,
+    inverse=False,
+    left=0.0,
+    right=1.0,
+    bottom=0.0,
+    top=1.0,
+    min_bin_width=DEFAULT_MIN_BIN_WIDTH,
+    min_bin_height=DEFAULT_MIN_BIN_HEIGHT,
+    min_derivative=DEFAULT_MIN_DERIVATIVE,
+    identity_init=True,
+):
+    """Rational-quadratic spline from raw params; clamps inputs to the domain.
+
+    ``x``: (..., D); raw params: (..., D, K) / (..., D, K) / (..., D, K+1).
+    Returns ``(y, ldj)`` with elementwise ldj of shape (..., D).
+
+    Out-of-domain inputs are clamped (the reference warns and clamps,
+    ``transformer/spline.py:145-156``); on TPU we clamp branchlessly.
+    """
+    cumx, cumy, derivs = rq_spline_params(
+        unnormalized_widths,
+        unnormalized_heights,
+        unnormalized_derivatives,
+        left=left,
+        right=right,
+        bottom=bottom,
+        top=top,
+        min_bin_width=min_bin_width,
+        min_bin_height=min_bin_height,
+        min_derivative=min_derivative,
+        identity_init=identity_init,
+    )
+    if inverse:
+        x = jnp.clip(x, bottom, top)
+    else:
+        x = jnp.clip(x, left, right)
+    return rq_spline_core(x, cumx, cumy, derivs, inverse=inverse)
+
+
+def rq_spline_tabulated(x, support_x, support_y, slopes, inverse=False):
+    """Spline from explicit knot tables (shared across the batch).
+
+    In-repo analogue of the reference's standalone tabulated spline
+    (``bgflow/nn/flow/spline.py:60-180``), used for marginal CDF tables.
+
+    ``support_x, support_y, slopes``: (D, K+1); ``x``: (..., D).
+    """
+    support_x = jnp.asarray(support_x)
+    support_y = jnp.asarray(support_y)
+    slopes = jnp.clip(jnp.asarray(slopes), 1e-6, 1e6)
+    if inverse:
+        x = jnp.clip(x, support_y[..., 0], support_y[..., -1])
+    else:
+        x = jnp.clip(x, support_x[..., 0], support_x[..., -1])
+    return rq_spline_core(x, support_x, support_y, slopes, inverse=inverse)

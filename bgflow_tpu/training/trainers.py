@@ -1,0 +1,208 @@
+"""Training loops.
+
+Reference: ``bgflow/nn/training/trainers.py:13-205`` (KLTrainer, LossReporter).
+
+TPU-first design: the whole optimization step — prior sampling, forward and
+inverse flow passes, target energy, gradients, optimizer update, and the
+NaN-step guard — is ONE jitted function.  The Python loop only feeds keys and
+collects scalar metrics, so steps/s is bounded by device compute, not host
+dispatch.  For multi-chip data parallelism, pass ``mesh``/shardings via
+``make_train_step``'s ``in_shardings`` (see ``bgflow_tpu.parallel``).
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import Callable, Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import optax
+
+
+class LossReporter:
+    """Accumulate labeled per-iteration losses (host side)."""
+
+    def __init__(self, *labels):
+        self._labels = labels
+        self._raw = [[] for _ in labels]
+
+    def report(self, *losses):
+        assert len(losses) == len(self._labels)
+        for i, l in enumerate(losses):
+            self._raw[i].append(float(l))
+
+    def recent(self, n_smooth=1):
+        return np.array([np.mean(raw[-n_smooth:]) if raw else np.nan for raw in self._raw])
+
+    def losses(self, n_smooth=1):
+        out = []
+        for raw in self._raw:
+            arr = np.asarray(raw)
+            if n_smooth > 1 and len(arr) >= n_smooth:
+                kernel = np.ones(n_smooth) / n_smooth
+                arr = np.convolve(arr, kernel, mode="valid")
+            out.append(arr)
+        return out
+
+    def __len__(self):
+        return len(self._raw[0]) if self._raw else 0
+
+
+def _tree_all_finite(tree):
+    leaves = jax.tree_util.tree_leaves(tree)
+    return jnp.all(jnp.stack([jnp.all(jnp.isfinite(l)) for l in leaves]))
+
+
+class KLTrainer:
+    """Mixed NLL / reverse-KL trainer with NaN-step skipping.
+
+    Parameters
+    ----------
+    bg : BoltzmannGenerator
+    optimizer : optax.GradientTransformation (default: adam(5e-3), matching
+        the reference's default ``trainers.py:64``)
+    train_likelihood / train_energy : include the NLL / KL loss terms.
+    custom_loss : optional ``fn(params, key) -> scalar`` added with weight
+        ``w_custom``.
+    """
+
+    def __init__(
+        self,
+        bg,
+        optimizer: Optional[optax.GradientTransformation] = None,
+        train_likelihood: bool = True,
+        train_energy: bool = True,
+        custom_loss: Optional[Callable] = None,
+    ):
+        self.bg = bg
+        self.optimizer = optimizer if optimizer is not None else optax.adam(5e-3)
+        self.train_likelihood = train_likelihood
+        self.train_energy = train_energy
+        self.custom_loss = custom_loss
+        self._step_cache = {}
+
+    def init(self, params):
+        return self.optimizer.init(params)
+
+    def loss(
+        self,
+        params,
+        key,
+        batch=None,
+        n_kl_samples: int = 0,
+        w_likelihood: float = 1.0,
+        w_energy: float = 1.0,
+        w_custom: float = 1.0,
+        temperature: float = 1.0,
+    ):
+        """Weighted mixed loss.  Returns (scalar, metrics dict)."""
+        metrics = {}
+        total = 0.0
+        wsum = 0.0
+        key_kl, key_custom = jax.random.split(key)
+        if self.train_energy and n_kl_samples > 0:
+            kll = jnp.mean(self.bg.kldiv(params, key_kl, n_kl_samples, temperature=temperature))
+            metrics["kl"] = kll
+            total = total + w_energy * kll
+            wsum += w_energy
+        if self.train_likelihood and batch is not None:
+            batch = batch if isinstance(batch, tuple) else (batch,)
+            nll = jnp.mean(self.bg.energy(params, *batch, temperature=temperature))
+            metrics["nll"] = nll
+            total = total + w_likelihood * nll
+            wsum += w_likelihood
+        if self.custom_loss is not None:
+            cl = self.custom_loss(params, key_custom)
+            metrics["custom"] = cl
+            total = total + w_custom * cl
+            wsum += w_custom
+        return total / max(wsum, 1e-12), metrics
+
+    def make_train_step(
+        self,
+        batchsize_likelihood: int = 0,
+        batchsize_energy: int = 0,
+        w_likelihood: float = 1.0,
+        w_energy: float = 1.0,
+        temperature: float = 1.0,
+        clip_grad_norm: Optional[float] = None,
+    ):
+        """Build one jitted update: (params, opt_state, key, batch?) -> ...
+
+        The NaN guard mirrors the reference (``trainers.py:198-201``): if any
+        gradient is non-finite the whole update is skipped, branchlessly.
+        """
+        optimizer = self.optimizer
+        if clip_grad_norm is not None:
+            optimizer = optax.chain(optax.clip_by_global_norm(clip_grad_norm), self.optimizer)
+
+        def loss_fn(params, key, batch):
+            return self.loss(
+                params,
+                key,
+                batch=batch,
+                n_kl_samples=batchsize_energy,
+                w_likelihood=w_likelihood,
+                w_energy=w_energy,
+                temperature=temperature,
+            )
+
+        @jax.jit
+        def train_step(params, opt_state, key, batch=None):
+            (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(params, key, batch)
+            finite = _tree_all_finite(grads) & jnp.isfinite(loss)
+            updates, new_opt_state = optimizer.update(grads, opt_state, params)
+            new_params = optax.apply_updates(params, updates)
+            # skip the step entirely on non-finite gradients
+            params = jax.tree_util.tree_map(
+                lambda new, old: jnp.where(finite, new, old), new_params, params
+            )
+            opt_state = jax.tree_util.tree_map(
+                lambda new, old: jnp.where(finite, new, old), new_opt_state, opt_state
+            )
+            metrics["loss"] = loss
+            metrics["skipped"] = ~finite
+            return params, opt_state, metrics
+
+        return train_step
+
+    def train(
+        self,
+        params,
+        key,
+        n_iter: int,
+        data=None,
+        opt_state=None,
+        batchsize: int = 128,
+        n_kl_samples: Optional[int] = None,
+        w_likelihood: float = 1.0,
+        w_energy: float = 1.0,
+        temperature: float = 1.0,
+        progress_interval: Optional[int] = None,
+        reporter: Optional[LossReporter] = None,
+    ):
+        """Run ``n_iter`` optimization steps; returns (params, opt_state, reporter)."""
+        if opt_state is None:
+            opt_state = self.init(params)
+        n_kl = batchsize if n_kl_samples is None else n_kl_samples
+        step = self.make_train_step(
+            batchsize_likelihood=batchsize if data is not None else 0,
+            batchsize_energy=n_kl if self.train_energy and self.bg.target is not None else 0,
+            w_likelihood=w_likelihood,
+            w_energy=w_energy,
+            temperature=temperature,
+        )
+        if reporter is None:
+            reporter = LossReporter("loss")
+        for i in range(n_iter):
+            key, key_step, key_data = jax.random.split(key, 3)
+            batch = None
+            if data is not None:
+                sampled = data.sample(key_data, batchsize)
+                batch = sampled if isinstance(sampled, tuple) else (sampled,)
+            params, opt_state, metrics = step(params, opt_state, key_step, batch)
+            reporter.report(metrics["loss"])
+            if progress_interval and (i + 1) % progress_interval == 0:
+                print(f"iter {i + 1}/{n_iter}: loss={float(metrics['loss']):.4f}")
+        return params, opt_state, reporter

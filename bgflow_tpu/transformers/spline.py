@@ -1,0 +1,98 @@
+"""Conditional rational-quadratic spline transformer.
+
+Reference: ``bgflow/nn/flow/transformer/spline.py:14-204``.  The RQS math is
+in-repo (``bgflow_tpu/ops/rqs.py``) instead of delegating to ``nflows``.
+
+Conventions carried over from the reference:
+
+* ``params_net(x)`` emits ``y_dim * 3 * n_bins + n_noncircular`` raw params;
+  ``n_bins`` is inferred from the net output width.
+* Slopes are made periodic by appending the first slope at the end
+  (continuity of the pdf across the boundary); non-circular dims get their
+  own independent final slope from the extra params.
+* The transformer's *forward* applies the spline's inverse direction (inverse
+  CDF convention, reference ``spline.py:128-157``).
+* Note: the reference's ``_n_noncircular`` returns ``is_circular.sum()`` in
+  the mixed case (``spline.py:190-196``) which miscounts; we use the correct
+  ``(~is_circular).sum()``.
+"""
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+
+from .base import Transformer
+from ..ops.rqs import rq_spline
+
+
+class ConditionalSplineTransformer(Transformer):
+    def __init__(
+        self,
+        params_net,
+        is_circular=False,
+        left: float = 0.0,
+        right: float = 1.0,
+        bottom: float = 0.0,
+        top: float = 1.0,
+    ):
+        self.params_net = params_net
+        self.is_circular = np.asarray(is_circular, dtype=bool)
+        self.left = float(left)
+        self.right = float(right)
+        self.bottom = float(bottom)
+        self.top = float(top)
+
+    def init(self, key):
+        return self.params_net.init(key)
+
+    def _n_noncircular(self, y_dim: int) -> int:
+        if self.is_circular.ndim == 0:
+            return 0 if bool(self.is_circular) else y_dim
+        return int(np.sum(~self.is_circular))
+
+    def _noncircular_indices(self, y_dim: int):
+        if self.is_circular.ndim == 0:
+            return np.array([], dtype=int) if bool(self.is_circular) else np.arange(y_dim)
+        return np.nonzero(~self.is_circular)[0]
+
+    def _compute_params(self, params, x, y_dim: int):
+        raw = self.params_net.apply(params, x)
+        batch_shape = raw.shape[:-1]
+        n_noncirc = self._n_noncircular(y_dim)
+        n_bins = (raw.shape[-1] - n_noncirc) // (y_dim * 3)
+        if raw.shape[-1] != y_dim * 3 * n_bins + n_noncirc:
+            raise ValueError(
+                f"params_net output ({raw.shape[-1]}) does not match "
+                f"y_dim*3*n_bins + n_noncircular = {y_dim}*3*{n_bins} + {n_noncirc}"
+            )
+        w = raw[..., : n_bins * y_dim].reshape(*batch_shape, y_dim, n_bins)
+        h = raw[..., n_bins * y_dim : 2 * n_bins * y_dim].reshape(*batch_shape, y_dim, n_bins)
+        s = raw[..., 2 * n_bins * y_dim : 3 * n_bins * y_dim].reshape(*batch_shape, y_dim, n_bins)
+        noncirc = raw[..., 3 * n_bins * y_dim :]
+        # periodic wrap: final slope equals first slope
+        slopes = jnp.concatenate([s, s[..., :1]], axis=-1)
+        idx = self._noncircular_indices(y_dim)
+        if len(idx) > 0:
+            slopes = slopes.at[..., idx, -1].set(noncirc)
+        return w, h, slopes
+
+    def _apply(self, params, x, y, spline_inverse: bool):
+        w, h, slopes = self._compute_params(params, x, y.shape[-1])
+        z, ldj = rq_spline(
+            y,
+            w,
+            h,
+            slopes,
+            inverse=spline_inverse,
+            left=self.left,
+            right=self.right,
+            bottom=self.bottom,
+            top=self.top,
+        )
+        return z, jnp.sum(ldj, axis=-1)
+
+    def _forward(self, params, x, y, **kwargs):
+        return self._apply(params, x, y, spline_inverse=True)
+
+    def _inverse(self, params, x, y, **kwargs):
+        return self._apply(params, x, y, spline_inverse=False)

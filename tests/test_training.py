@@ -1,0 +1,93 @@
+"""End-to-end training slice: README-parity double-well BG.
+
+Reference anchor: ``README.md:54-96`` (2-D double well + RealNVP coupling +
+Normal prior, mixed NLL/KL training).
+"""
+import jax
+import jax.numpy as jnp
+import optax
+
+import bgflow_tpu as bg
+
+
+def make_realnvp_bg(key, dim=2, hidden=32, n_blocks=4):
+    prior = bg.NormalDistribution(dim)
+    target = bg.DoubleWellEnergy(dim)
+    d1, d2 = dim // 2, dim - dim // 2
+    blocks = [bg.Split(d1, axis=-1)]
+    for i in range(n_blocks):
+        din, dout = (d1, d2) if i % 2 == 0 else (d2, d1)
+        shift = bg.DenseNet([din, hidden, hidden, dout], activation=jax.nn.silu)
+        scale = bg.DenseNet([din, hidden, hidden, dout], activation=jax.nn.silu)
+        blocks.append(bg.Coupling(bg.AffineTransformer(shift, scale)))
+        blocks.append(bg.Swap())
+    blocks.append(bg.Merge(d1, axis=-1))
+    flow = bg.Chain(blocks)
+    gen = bg.BoltzmannGenerator(prior, flow, target)
+    return gen, gen.init(key)
+
+
+def test_kl_training_reduces_loss(key):
+    gen, params = make_realnvp_bg(key)
+    trainer = bg.KLTrainer(gen, optimizer=optax.adam(2e-3), train_likelihood=False)
+    step = trainer.make_train_step(batchsize_energy=256)
+    opt_state = trainer.init(params)
+    losses = []
+    for i in range(120):
+        key, sub = jax.random.split(key)
+        params, opt_state, metrics = step(params, opt_state, sub)
+        losses.append(float(metrics["loss"]))
+    # reverse KL decreases substantially
+    assert sum(losses[-20:]) / 20 < sum(losses[:20]) / 20 - 0.3
+
+
+def test_mixed_training_with_data(key):
+    gen, params = make_realnvp_bg(key)
+    # "data": samples from the two wells
+    key_d, key = jax.random.split(key)
+    n = 2048
+    wells = jnp.where(jax.random.bernoulli(key_d, shape=(n, 1)), 1.4, -1.4)
+    x = jnp.concatenate([
+        wells + 0.2 * jax.random.normal(key_d, (n, 1)),
+        jax.random.normal(key, (n, 1)),
+    ], axis=-1)
+    data = bg.DataSetSampler(x)
+    trainer = bg.KLTrainer(gen)
+    params, opt_state, reporter = trainer.train(
+        params, key, n_iter=60, data=data, batchsize=128, w_energy=0.5, w_likelihood=0.5,
+    )
+    assert len(reporter) == 60
+    assert jnp.isfinite(reporter.recent()[0])
+
+
+def test_trained_bg_covers_both_wells(key):
+    gen, params = make_realnvp_bg(key)
+    trainer = bg.KLTrainer(gen, train_likelihood=False, optimizer=optax.adam(3e-3))
+    step = trainer.make_train_step(batchsize_energy=512)
+    opt_state = trainer.init(params)
+    for _ in range(250):
+        key, sub = jax.random.split(key)
+        params, opt_state, _ = step(params, opt_state, sub)
+    out = gen.sample(params, jax.random.PRNGKey(123), 4000, with_log_weights=True)
+    ess = bg.effective_sample_size(out.log_weights)
+    # a trained flow should reweight decently on this toy target
+    assert ess > 400  # >10% efficiency
+    # (mode coverage of both wells is not guaranteed for pure reverse-KL
+    #  training; ESS is the meaningful check here)
+
+
+def test_nan_guard_skips_step(key):
+    gen, params = make_realnvp_bg(key)
+
+    class NaNTrainer(bg.KLTrainer):
+        def loss(self, params, key, **kw):
+            l, m = super().loss(params, key, **kw)
+            return l + jnp.nan, m
+
+    trainer = NaNTrainer(gen, train_likelihood=False)
+    step = trainer.make_train_step(batchsize_energy=32)
+    opt_state = trainer.init(params)
+    new_params, _, metrics = step(params, opt_state, key)
+    assert bool(metrics["skipped"])
+    for a, b in zip(jax.tree_util.tree_leaves(params), jax.tree_util.tree_leaves(new_params)):
+        assert jnp.all(a == b)
