@@ -42,5 +42,31 @@ from .bg import (
     sampling_efficiency,
 )
 from .training.trainers import KLTrainer, LossReporter
+from .flows.ic import (
+    RelativeInternalCoordinateTransformation,
+    GlobalInternalCoordinateTransformation,
+    MixedCoordinateTransformation,
+    ReferenceSystemTransformation,
+    WhitenFlow,
+)
+from .flows.cdf import CDFTransform, DistributionTransferFlow, ConstrainGaussianFlow
+from .flows.modulo import IncreaseMultiplicityFlow, CircularShiftFlow
+from .flows.elementwise import ConstantAffineFlow, BentIdentity
+from .distributions.normal import DiagonalNormal
+from .factory.tensor_info import (
+    TensorInfo,
+    ShapeDictionary,
+    BONDS,
+    ANGLES,
+    TORSIONS,
+    FIXED,
+    ORIGIN,
+    ROTATION,
+    AUGMENTED,
+    TARGET,
+)
+from .factory.builder import BoltzmannGeneratorBuilder, zero_params
+from .factory.icmarginals import InternalCoordinateMarginals
+from .factory.registries import make_conditioners, make_transformer, make_distribution
 
 __version__ = "0.1.0"

@@ -172,6 +172,40 @@ class MeanFreeNormalDistribution(Energy, Sampler):
         return self._sample_with_temperature(key, n_samples, 1.0)
 
 
+class DiagonalNormal(Energy, Sampler):
+    """Independent normal with per-dim mu/sigma, exposing cdf/icdf/log_prob
+    (the interface ``CDFTransform`` needs).  The analogue of a
+    ``torch.distributions.Normal`` used in the reference's marginal tables
+    (``factory/icmarginals.py:66-77``)."""
+
+    def __init__(self, mu, sigma=1.0):
+        mu = jnp.atleast_1d(jnp.asarray(mu, dtype=jnp.result_type(float)))
+        Energy.__init__(self, tuple(mu.shape))
+        Sampler.__init__(self)
+        self.mu = mu
+        self.sigma = jnp.broadcast_to(jnp.asarray(sigma, dtype=mu.dtype), mu.shape)
+
+    def cdf(self, x):
+        return _norm.cdf((x - self.mu) / self.sigma)
+
+    def icdf(self, x):
+        return ndtri(jnp.clip(x, 1e-12, 1.0 - 1e-12)) * self.sigma + self.mu
+
+    def log_prob(self, x):
+        return _norm.logpdf((x - self.mu) / self.sigma) - jnp.log(self.sigma)
+
+    def _energy(self, x):
+        logp = self.log_prob(x)
+        return -jnp.sum(logp.reshape(logp.shape[0], -1), axis=-1)
+
+    def _sample_with_temperature(self, key, n_samples, temperature=1.0):
+        eps = jax.random.normal(key, (n_samples, *self.event_shape), dtype=self.mu.dtype)
+        return self.mu + self.sigma * jnp.sqrt(temperature) * eps
+
+    def _sample(self, key, n_samples):
+        return self._sample_with_temperature(key, n_samples, 1.0)
+
+
 class CircularNormalDistribution(Energy, Sampler):
     """Von Mises wrapped to [0, 1].  Reference: ``normal.py:286-324``."""
 

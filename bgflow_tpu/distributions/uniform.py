@@ -37,3 +37,14 @@ class UniformDistribution(Energy, Sampler):
     def _sample_with_temperature(self, key, n_samples, temperature=1.0):
         # temperature does not change a uniform distribution
         return self._sample(key, n_samples)
+
+    # cdf/icdf/log_prob interface (for CDFTransform / marginal tables)
+    def cdf(self, x):
+        return jnp.clip((x - self.low) / (self.high - self.low), 0.0, 1.0)
+
+    def icdf(self, x):
+        return self.low + x * (self.high - self.low)
+
+    def log_prob(self, x):
+        inside = (x >= self.low - self.tol) & (x <= self.high + self.tol)
+        return jnp.where(inside, -jnp.log(self.high - self.low), -jnp.inf)

@@ -1,0 +1,151 @@
+"""Conditioner / transformer / prior factories for the builder.
+
+Reference: ``bgflow/factory/conditioner_factory.py:23-73,224-253``,
+``transformer_factory.py:11-87``, ``distribution_factory.py:11-56``.
+
+Registries map transformer types to (a) the conditioner output dims they
+need and (b) their construction; priors are built per tensor field.
+"""
+from __future__ import annotations
+
+from typing import Mapping
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..nets.dense import DenseNet, WrapPeriodic
+from ..transformers.affine import AffineTransformer
+from ..transformers.spline import ConditionalSplineTransformer
+from ..distributions.normal import NormalDistribution, TruncatedNormalDistribution
+from ..distributions.uniform import UniformDistribution
+
+__all__ = ["make_conditioners", "make_transformer", "make_distribution",
+           "CONDITIONER_FACTORIES", "CONDITIONER_OUT_DIMS",
+           "TRANSFORMER_FACTORIES", "DISTRIBUTION_FACTORIES"]
+
+
+# ------------------------------------------------------------ conditioners
+
+
+def _make_dense_conditioner(dim_in, dim_out, hidden=(128, 128), activation=jax.nn.silu, **kwargs):
+    return DenseNet([dim_in, *hidden, dim_out], activation=activation)
+
+
+CONDITIONER_FACTORIES = {
+    "dense": _make_dense_conditioner,
+}
+
+
+def _spline_out_dims(what, shape_info, transformer_kwargs={}, num_bins=8, **kwargs):
+    dim_out = 3 * num_bins * shape_info.dim_all(what) + shape_info.dim_noncircular(what)
+    return {"params_net": dim_out}
+
+
+def _affine_out_dims(what, shape_info, transformer_kwargs={}, use_scaling=True, **kwargs):
+    dim_out = shape_info.dim_all(what)
+    out_dims = {"shift_net": dim_out}
+    if use_scaling and not any(f.is_circular for f in what):
+        out_dims["scale_net"] = dim_out
+    return out_dims
+
+
+CONDITIONER_OUT_DIMS = {
+    ConditionalSplineTransformer: _spline_out_dims,
+    AffineTransformer: _affine_out_dims,
+}
+
+
+def make_conditioners(
+    transformer_type,
+    what,
+    on,
+    shape_info,
+    transformer_kwargs={},
+    conditioner_type="dense",
+    **kwargs,
+):
+    """Build the conditioner nets a transformer needs for a coupling layer.
+
+    Circular conditioner inputs are sin/cos-embedded (input dim
+    ``n_noncircular + 2 * n_circular``, reference
+    ``conditioner_factory.py:63-70``).
+    """
+    net_factory = CONDITIONER_FACTORIES[conditioner_type]
+    dim_out_factory = CONDITIONER_OUT_DIMS[transformer_type]
+    dim_out = dim_out_factory(
+        what=what, shape_info=shape_info, transformer_kwargs=transformer_kwargs, **kwargs
+    )
+    dim_in = shape_info.dim_noncircular(on) + 2 * shape_info.dim_circular(on)
+    conditioners = {}
+    for name, dim in dim_out.items():
+        net = net_factory(dim_in, dim, **kwargs)
+        if shape_info.dim_circular(on) > 0:
+            net = WrapPeriodic(net, indices=shape_info.circular_indices(on))
+        conditioners[name] = net
+    return conditioners
+
+
+# ------------------------------------------------------------ transformers
+
+
+def _make_spline_transformer(what, shape_info, conditioners, **kwargs):
+    return ConditionalSplineTransformer(
+        **conditioners, is_circular=shape_info.is_circular(what), **kwargs
+    )
+
+
+def _make_affine_transformer(what, shape_info, conditioners, **kwargs):
+    n_circ = shape_info.dim_circular(what)
+    if n_circ not in (0, shape_info.dim_all(what)):
+        raise NotImplementedError(
+            "Circular affine transformers are not supported for partly circular indices."
+        )
+    return AffineTransformer(**conditioners, is_circular=n_circ > 0, **kwargs)
+
+
+TRANSFORMER_FACTORIES = {
+    ConditionalSplineTransformer: _make_spline_transformer,
+    AffineTransformer: _make_affine_transformer,
+}
+
+
+def make_transformer(transformer_type, what, shape_info, conditioners, **kwargs):
+    return TRANSFORMER_FACTORIES[transformer_type](
+        what=what, shape_info=shape_info, conditioners=conditioners, **kwargs
+    )
+
+
+# ------------------------------------------------------------------ priors
+
+
+def _make_uniform(shape, low=0.0, high=1.0, **kwargs):
+    return UniformDistribution(
+        low=jnp.full(shape, low), high=jnp.full(shape, high), **kwargs
+    )
+
+
+def _make_normal(shape, **kwargs):
+    assert len(shape) == 1
+    return NormalDistribution(shape[0], **kwargs)
+
+
+def _make_truncated_normal(shape, mu=1.0, sigma=1.0, lower_bound=0.0, upper_bound=np.inf, **kwargs):
+    return TruncatedNormalDistribution(
+        mu=jnp.full(shape, mu),
+        sigma=jnp.full(shape, sigma),
+        lower_bound=lower_bound,
+        upper_bound=upper_bound,
+        **kwargs,
+    )
+
+
+DISTRIBUTION_FACTORIES = {
+    UniformDistribution: _make_uniform,
+    NormalDistribution: _make_normal,
+    TruncatedNormalDistribution: _make_truncated_normal,
+}
+
+
+def make_distribution(distribution_type, shape, **kwargs):
+    return DISTRIBUTION_FACTORIES[distribution_type](shape, **kwargs)
