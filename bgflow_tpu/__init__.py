@@ -68,5 +68,32 @@ from .factory.tensor_info import (
 from .factory.builder import BoltzmannGeneratorBuilder, zero_params
 from .factory.icmarginals import InternalCoordinateMarginals
 from .factory.registries import make_conditioners, make_transformer, make_distribution
+from .energies.forcefield import (
+    ClassicalForceField,
+    BondedTerms,
+    NonbondedTerms,
+    enumerate_angles,
+    enumerate_torsions,
+    exclusion_scales,
+)
+from .energies.ala2 import build_ala2_forcefield
+from .energies.bridge import BridgeEnergy, CallbackBridge, OpenMMEnergy, XTBEnergy, ASEEnergy
+from .samplers.iterative import IterativeSampler, SamplerState, SamplerStep
+from .samplers.mcmc import (
+    GaussianProposal,
+    LatentProposal,
+    MCMCStep,
+    GaussianMCMCSampler,
+    metropolis_accept,
+)
+from .samplers.md import BAOABStep, LangevinStep, baoab_run, maxwell_boltzmann_velocities
+from .samplers.buffer import MetropolizedReplayBuffer, ReplayBufferHDF5Reporter
+from .flows.stochastic import (
+    BrownianFlow,
+    OverdampedLangevinFlow,
+    LangevinFlow,
+    MetropolisMCFlow,
+    StochasticAugmentation,
+)
 
 __version__ = "0.1.0"

@@ -1,0 +1,245 @@
+"""Batched classical force-field kernel (the TPU-native OpenMM replacement).
+
+The reference outsources molecular-mechanics energies to OpenMM worker
+processes (``bgflow/distribution/energy/openmm.py:18-533``); here the force
+field IS the energy: harmonic bonds/angles, periodic torsions (multi-term,
+incl. impropers), and Lennard-Jones + Coulomb nonbonded with per-pair scale
+matrices — all dense, batched, and differentiable, so reverse-KL gradients
+flow through XLA instead of crossing a process boundary.
+
+TPU design notes
+----------------
+* Bonded terms: static index gathers + fused elementwise math; vectorized
+  over (batch x terms), no per-term loops.
+* Nonbonded: dense (N, N) pair tensor with precomputed scale matrices
+  (0 for exclusions, fudge factors for 1-4 pairs, 1 elsewhere).  For the
+  peptide-scale systems this framework targets (N up to a few thousand),
+  the full pair matrix fuses into one VPU pass and beats any neighbor-list
+  scheme; cutoff/cell-list kernels are the documented scale-up path.
+* Units: parameters in kJ/mol and nm; ``energy()`` returns dimensionless
+  u = U/kT like the reference bridge (``openmm.py:20,70-71``).
+"""
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from .base import Energy
+from ..ops import ic as icops
+
+# Boltzmann constant in kJ/mol/K and Coulomb constant in kJ mol^-1 nm e^-2
+KB_KJ_PER_MOL_K = 0.00831446261815324
+COULOMB_CONSTANT = 138.935458
+
+
+class BondedTerms(NamedTuple):
+    """Static parameter arrays of the bonded terms."""
+
+    bond_idx: np.ndarray  # (nb, 2) int
+    bond_r0: np.ndarray  # (nb,) nm
+    bond_k: np.ndarray  # (nb,) kJ/mol/nm^2  (E = k/2 (r - r0)^2)
+    angle_idx: np.ndarray  # (na, 3) int
+    angle_theta0: np.ndarray  # (na,) rad
+    angle_k: np.ndarray  # (na,) kJ/mol/rad^2  (E = k/2 (th - th0)^2)
+    torsion_idx: np.ndarray  # (nt, 4) int
+    torsion_n: np.ndarray  # (nt,) periodicity
+    torsion_phase: np.ndarray  # (nt,) rad
+    torsion_k: np.ndarray  # (nt,) kJ/mol  (E = k (1 + cos(n th - phase)))
+
+
+class NonbondedTerms(NamedTuple):
+    charges: np.ndarray  # (N,) e
+    sigma: np.ndarray  # (N,) nm
+    epsilon: np.ndarray  # (N,) kJ/mol
+    scale_lj: np.ndarray  # (N, N) float — 0 excluded, fudge for 1-4, 1 else
+    scale_coulomb: np.ndarray  # (N, N)
+
+
+class ClassicalForceField(Energy):
+    """u(x) = U_ff(x) / kT for batched configurations x of shape (B, N*3)."""
+
+    def __init__(
+        self,
+        n_atoms: int,
+        bonded: BondedTerms,
+        nonbonded: Optional[NonbondedTerms] = None,
+        temperature: float = 300.0,
+        two_event_dims: bool = False,
+        eps: float = 1e-7,
+    ):
+        if two_event_dims:
+            super().__init__([n_atoms, 3])
+        else:
+            super().__init__(n_atoms * 3)
+        self.n_atoms = n_atoms
+        self.bonded = BondedTerms(*(jnp.asarray(a) for a in bonded))
+        self.nonbonded = (
+            None if nonbonded is None else NonbondedTerms(*(jnp.asarray(a) for a in nonbonded))
+        )
+        self.temperature = float(temperature)
+        self.kt = KB_KJ_PER_MOL_K * self.temperature
+        self.eps = eps
+
+    # -- term energies (kJ/mol) ------------------------------------------
+    def bond_energy(self, x):
+        b = self.bonded
+        if b.bond_idx.shape[0] == 0:
+            return jnp.zeros(x.shape[0], dtype=x.dtype)
+        r = icops.dist(x[:, b.bond_idx[:, 0]], x[:, b.bond_idx[:, 1]], self.eps)
+        return jnp.sum(0.5 * b.bond_k * (r - b.bond_r0) ** 2, axis=-1)
+
+    def angle_energy(self, x):
+        b = self.bonded
+        if b.angle_idx.shape[0] == 0:
+            return jnp.zeros(x.shape[0], dtype=x.dtype)
+        th = icops.angle(
+            x[:, b.angle_idx[:, 0]], x[:, b.angle_idx[:, 1]], x[:, b.angle_idx[:, 2]], self.eps
+        )
+        return jnp.sum(0.5 * b.angle_k * (th - b.angle_theta0) ** 2, axis=-1)
+
+    def torsion_energy(self, x):
+        b = self.bonded
+        if b.torsion_idx.shape[0] == 0:
+            return jnp.zeros(x.shape[0], dtype=x.dtype)
+        th = icops.torsion(
+            x[:, b.torsion_idx[:, 0]],
+            x[:, b.torsion_idx[:, 1]],
+            x[:, b.torsion_idx[:, 2]],
+            x[:, b.torsion_idx[:, 3]],
+            self.eps,
+        )
+        return jnp.sum(b.torsion_k * (1.0 + jnp.cos(b.torsion_n * th - b.torsion_phase)), axis=-1)
+
+    def nonbonded_energy(self, x):
+        nb = self.nonbonded
+        if nb is None:
+            return jnp.zeros(x.shape[0], dtype=x.dtype)
+        diff = x[:, :, None, :] - x[:, None, :, :]
+        r2 = jnp.sum(diff * diff, axis=-1) + self.eps**2
+        # set excluded pairs (scale 0, incl. the diagonal) to unit distance
+        # BEFORE the r^-12 powers: (sigma/eps)^12 overflows float32 to inf,
+        # and inf * 0-scale would poison the sum with NaNs
+        interacting = (nb.scale_lj > 0) | (nb.scale_coulomb > 0)
+        r2 = jnp.where(interacting, r2, 1.0)
+        inv_r = jax.lax.rsqrt(r2)
+        # Lorentz-Berthelot combination
+        sig = 0.5 * (nb.sigma[:, None] + nb.sigma[None, :])
+        eps_ij = jnp.sqrt(nb.epsilon[:, None] * nb.epsilon[None, :])
+        s2 = (sig * inv_r) ** 2
+        s6 = s2 * s2 * s2  # (sig/r)^6
+        lj = 4.0 * eps_ij * (s6 * s6 - s6) * nb.scale_lj
+        qq = COULOMB_CONSTANT * nb.charges[:, None] * nb.charges[None, :]
+        coul = qq * inv_r * nb.scale_coulomb
+        # scale matrices carry zero diagonal, so self-interaction vanishes;
+        # each pair appears twice -> half the sum
+        return 0.5 * jnp.sum((lj + coul).reshape(x.shape[0], -1), axis=-1)
+
+    def potential_energy(self, x):
+        """Total potential in kJ/mol; x: (B, N*3) or (B, N, 3) in nm."""
+        x = x.reshape(x.shape[0], self.n_atoms, 3)
+        return (
+            self.bond_energy(x)
+            + self.angle_energy(x)
+            + self.torsion_energy(x)
+            + self.nonbonded_energy(x)
+        )
+
+    def _energy(self, x):
+        return self.potential_energy(x) / self.kt
+
+    def force_kj(self, x):
+        """-dU/dx in kJ/mol/nm (matching OpenMM's unit convention)."""
+        shape = x.shape
+        return -jax.grad(lambda xx: jnp.sum(self.potential_energy(xx)))(x).reshape(shape)
+
+
+def exclusion_scales(
+    n_atoms: int,
+    bond_idx: np.ndarray,
+    lj_fudge: float = 0.5,
+    coulomb_fudge: float = 1.0 / 1.2,
+):
+    """Build (scale_lj, scale_coulomb) matrices from the bond graph.
+
+    1-2 and 1-3 pairs are excluded; 1-4 pairs are scaled by the amber fudge
+    factors; everything else interacts fully.  Matches OpenMM's default
+    exception generation for amber force fields.
+    """
+    adj = [[] for _ in range(n_atoms)]
+    for i, j in np.asarray(bond_idx):
+        adj[int(i)].append(int(j))
+        adj[int(j)].append(int(i))
+    scale_lj = np.ones((n_atoms, n_atoms))
+    scale_coul = np.ones((n_atoms, n_atoms))
+    np.fill_diagonal(scale_lj, 0.0)
+    np.fill_diagonal(scale_coul, 0.0)
+
+    def set_pair(mat, i, j, v):
+        mat[i, j] = v
+        mat[j, i] = v
+
+    # distances over the bond graph up to 3
+    for a in range(n_atoms):
+        for b in adj[a]:
+            set_pair(scale_lj, a, b, 0.0)
+            set_pair(scale_coul, a, b, 0.0)
+            for c in adj[b]:
+                if c == a:
+                    continue
+                set_pair(scale_lj, a, c, 0.0)
+                set_pair(scale_coul, a, c, 0.0)
+    # 1-4: distance exactly 3 and not already excluded
+    excluded = scale_lj == 0.0
+    for a in range(n_atoms):
+        for b in adj[a]:
+            for c in adj[b]:
+                if c == a:
+                    continue
+                for d in adj[c]:
+                    if d in (a, b):
+                        continue
+                    if not excluded[a, d] and a != d:
+                        set_pair(scale_lj, a, d, lj_fudge)
+                        set_pair(scale_coul, a, d, coulomb_fudge)
+    return scale_lj, scale_coul
+
+
+def enumerate_angles(bond_idx: np.ndarray):
+    """All i-j-k angle triples of a bond graph (j is the apex)."""
+    bond_idx = np.asarray(bond_idx)
+    n = int(bond_idx.max()) + 1 if len(bond_idx) else 0
+    adj = [[] for _ in range(n)]
+    for i, j in bond_idx:
+        adj[int(i)].append(int(j))
+        adj[int(j)].append(int(i))
+    angles = []
+    for j in range(n):
+        nbrs = sorted(adj[j])
+        for a in range(len(nbrs)):
+            for b in range(a + 1, len(nbrs)):
+                angles.append((nbrs[a], j, nbrs[b]))
+    return np.asarray(angles, dtype=np.int64).reshape(-1, 3)
+
+
+def enumerate_torsions(bond_idx: np.ndarray):
+    """All proper i-j-k-l quadruples (each central bond j-k once)."""
+    bond_idx = np.asarray(bond_idx)
+    n = int(bond_idx.max()) + 1 if len(bond_idx) else 0
+    adj = [[] for _ in range(n)]
+    for i, j in bond_idx:
+        adj[int(i)].append(int(j))
+        adj[int(j)].append(int(i))
+    torsions = []
+    for j, k in bond_idx:
+        j, k = int(j), int(k)
+        for i in adj[j]:
+            if i == k:
+                continue
+            for l in adj[k]:
+                if l == j or l == i:
+                    continue
+                torsions.append((i, j, k, l))
+    return np.asarray(torsions, dtype=np.int64).reshape(-1, 4)

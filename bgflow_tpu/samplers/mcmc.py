@@ -1,0 +1,145 @@
+"""Markov-chain Monte Carlo steps with pluggable proposals.
+
+Reference: ``bgflow/distribution/sampling/mcmc.py:29-222``.  Everything is
+branchless (``jnp.where`` merges), vectorized over chains, and per-chain
+temperatures make one batch a whole parallel-tempering ladder.
+
+A proposal maps ``(state, key) -> (proposed_state, delta_log_prob)`` where
+``delta_log_prob = log g(x'|x) - log g(x|x')`` (0 for symmetric proposals).
+"""
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+from .iterative import IterativeSampler, SamplerState, SamplerStep
+
+__all__ = [
+    "GaussianProposal",
+    "LatentProposal",
+    "MCMCStep",
+    "GaussianMCMCSampler",
+    "metropolis_accept",
+]
+
+
+def metropolis_accept(key, current_energies, proposed_energies, proposal_delta_log_prob):
+    """Vectorized Metropolis criterion; returns a boolean accept mask."""
+    log_prob = -(proposed_energies - current_energies) - proposal_delta_log_prob
+    log_acceptance = jnp.minimum(jnp.zeros_like(log_prob), log_prob)
+    log_random = jnp.log(jax.random.uniform(key, log_acceptance.shape))
+    return log_acceptance >= log_random
+
+
+class GaussianProposal:
+    """Symmetric Gaussian random-walk displacement."""
+
+    def __init__(self, noise_std: float = 0.1):
+        self.noise_std = noise_std
+
+    def propose(self, state: SamplerState, key) -> Tuple[SamplerState, jax.Array]:
+        keys = jax.random.split(key, len(state.samples))
+        new = tuple(
+            x + self.noise_std * jax.random.normal(k, x.shape, dtype=x.dtype)
+            for x, k in zip(state.samples, keys)
+        )
+        return state.replace(samples=new, energies=None), 0.0
+
+
+class LatentProposal:
+    """Proposal through a flow's latent space.
+
+    The acceptance accounts for the flow log-dets
+    (``delta_log_prob -= logdet_fwd + logdet_inv``, reference
+    ``mcmc.py:72-83``), so a perfect flow turns MCMC into independent
+    resampling.
+    """
+
+    def __init__(self, flow, flow_params, base_proposal=None, flow_kwargs=dict()):
+        self.flow = flow
+        self.flow_params = flow_params
+        self.base_proposal = base_proposal if base_proposal is not None else GaussianProposal(0.1)
+        self.flow_kwargs = dict(flow_kwargs)
+
+    def propose(self, state: SamplerState, key) -> Tuple[SamplerState, jax.Array]:
+        z, logdet_inv = self.flow.forward(
+            self.flow_params, state.samples, inverse=True, **self.flow_kwargs
+        )
+        latent_state, delta_log_prob = self.base_proposal.propose(
+            state.replace(samples=z, energies=None), key
+        )
+        x_new, logdet_fwd = self.flow.forward(
+            self.flow_params, latent_state.samples, **self.flow_kwargs
+        )
+        delta_log_prob = delta_log_prob - (logdet_fwd + logdet_inv)
+        return latent_state.replace(samples=x_new, energies=None), delta_log_prob
+
+
+class MCMCStep(SamplerStep):
+    """Metropolis MC with pluggable proposal and per-chain temperatures."""
+
+    def __init__(self, target_energy, proposal=None, target_temperatures=1.0, n_steps: int = 1):
+        super().__init__(n_steps=n_steps)
+        self.target_energy = target_energy
+        self.proposal = proposal if proposal is not None else GaussianProposal()
+        self.target_temperatures = target_temperatures
+
+    def _step(self, state: SamplerState, key) -> SamplerState:
+        key_prop, key_accept = jax.random.split(key)
+        if state.energies is None:
+            state = state.replace(energies=self.target_energy.energy(*state.samples))
+        proposed, delta_log_prob = self.proposal.propose(state, key_prop)
+        proposed_energies = self.target_energy.energy(*proposed.samples)
+        accept = metropolis_accept(
+            key_accept,
+            state.energies / self.target_temperatures,
+            proposed_energies / self.target_temperatures,
+            delta_log_prob,
+        )
+        merged = tuple(
+            jnp.where(accept.reshape(-1, *([1] * (new.ndim - 1))), new, old)
+            for new, old in zip(proposed.samples, state.samples)
+        )
+        return state.replace(
+            samples=merged,
+            energies=jnp.where(accept, proposed_energies, state.energies),
+        )
+
+
+class GaussianMCMCSampler(IterativeSampler):
+    """Shortcut: Gaussian random-walk MCMC (reference ``mcmc.py:125-189``)."""
+
+    def __init__(
+        self,
+        energy,
+        init_state,
+        temperature=1.0,
+        noise_std: float = 0.1,
+        stride: int = 1,
+        n_burnin: int = 0,
+        return_hook=None,
+    ):
+        if not isinstance(init_state, SamplerState):
+            init_state = SamplerState(samples=(init_state,))
+        if return_hook is None:
+            # flatten iteration and batch axes, matching the reference
+            def return_hook(*samples):
+                return tuple(
+                    x.reshape(-1, *shape) for x, shape in zip(samples, energy.event_shapes)
+                )
+
+        super().__init__(
+            init_state,
+            sampler_steps=[
+                MCMCStep(
+                    energy,
+                    proposal=GaussianProposal(noise_std=noise_std),
+                    target_temperatures=temperature,
+                )
+            ],
+            stride=stride,
+            n_burnin=n_burnin,
+            return_hook=return_hook,
+        )
