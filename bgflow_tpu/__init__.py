@@ -96,4 +96,28 @@ from .flows.stochastic import (
     StochasticAugmentation,
 )
 
+from .flows.linear import (
+    AffineFlow,
+    TriuFlow,
+    PseudoOrthogonalFlow,
+    KroneckerProductFlow,
+    InvertiblePPPP,
+    pppp_merge,
+    PPPPScheduler,
+)
+from .flows.misc import FunnelFlow, CheckerboardFlow
+from .flows.cnf import (
+    DiffEqFlow,
+    BlackBoxDynamics,
+    TimeIndependentDynamics,
+    KernelDynamics,
+    BruteForceEstimator,
+    HutchinsonEstimator,
+)
+from .transformers.gaussian import (
+    TruncatedGaussianTransformer,
+    ScalingLayer,
+    EntropyScalingLayer,
+)
+
 __version__ = "0.1.0"

@@ -1,0 +1,108 @@
+"""Flagship model: alanine-dipeptide Boltzmann generator.
+
+End-to-end parity with the reference's canonical example
+(``notebooks/alanine_dipeptide_basics.py:139-358``): MD data -> mixed
+internal-coordinate transform -> conditional-spline coupling flow ->
+mixed NLL/KL training -> reweighted sampling.  Everything (data generation
+included) runs on-device.
+"""
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..bg import BoltzmannGenerator
+from ..energies.ala2 import (
+    ALA2_FIXED_ATOMS,
+    ALA2_REFERENCE_XYZ,
+    ALA2_Z_MATRIX,
+    build_ala2_forcefield,
+)
+from ..energies.clipped import LinLogCutEnergy
+from ..factory.builder import BoltzmannGeneratorBuilder
+from ..factory.icmarginals import InternalCoordinateMarginals
+from ..factory.tensor_info import ANGLES, BONDS, FIXED, TORSIONS, ShapeDictionary
+from ..flows.ic import MixedCoordinateTransformation
+from ..samplers.md import baoab_run
+
+__all__ = ["Ala2Model", "generate_ala2_data", "make_ala2_generator"]
+
+
+def generate_ala2_data(
+    key,
+    n_samples: int = 4096,
+    n_chains: int = 64,
+    n_equilibration: int = 2000,
+    timestep: float = 5e-4,
+    friction: float = 5.0,
+    temperature: float = 300.0,
+    dtype=jnp.float32,
+):
+    """On-device BAOAB MD trajectory of ala2, thinned into a training set."""
+    ff = build_ala2_forcefield(temperature=temperature)
+    x0 = jnp.asarray(ALA2_REFERENCE_XYZ, dtype=dtype).reshape(1, -1).repeat(n_chains, 0)
+    key_eq, key_prod = jax.random.split(key)
+    xs = baoab_run(ff, x0, key_eq, n_steps=n_equilibration, timestep=timestep, friction=friction)
+    n_prod = max(1, n_samples // n_chains)
+    thin = 10
+    xs = baoab_run(ff, xs[-1], key_prod, n_steps=n_prod * thin, timestep=timestep, friction=friction, thin=thin)
+    return xs.reshape(-1, 66)[:n_samples]
+
+
+def make_ala2_generator(
+    data,
+    temperature: float = 300.0,
+    hidden=(128, 128),
+    num_bins: int = 8,
+    keepdims: int = 15,
+    high_energy: float = 1e3,
+    max_energy: float = 1e9,
+    architecture=(
+        (TORSIONS, FIXED),
+        (FIXED, TORSIONS),
+        (BONDS, (ANGLES, TORSIONS)),
+        (ANGLES, (BONDS, TORSIONS)),
+        (TORSIONS, (BONDS, ANGLES)),
+        (FIXED, (BONDS, ANGLES, TORSIONS)),
+    ),
+) -> BoltzmannGenerator:
+    """Assemble the spline-coupling ala2 BG (notebook-parity architecture)."""
+    data = np.asarray(data)
+    crd = MixedCoordinateTransformation(
+        data, ALA2_Z_MATRIX, ALA2_FIXED_ATOMS, keepdims=keepdims
+    )
+    target = LinLogCutEnergy(
+        build_ala2_forcefield(temperature=temperature),
+        high_energy=high_energy,
+        max_energy=max_energy,
+    )
+    shape_info = ShapeDictionary.from_coordinate_transform(crd)
+    builder = BoltzmannGeneratorBuilder(shape_info, target=target)
+    for what, on in architecture:
+        builder.add_condition(what, on=on, hidden=hidden, num_bins=num_bins)
+    marginals = InternalCoordinateMarginals(builder.current_dims)
+    marginals.inform_with_data(
+        jnp.asarray(data), crd, bond_lower=1e-3, bond_upper=1.0, angle_lower=1e-4
+    )
+    builder.add_map_to_ic_domains(marginals)
+    builder.add_map_to_cartesian(crd)
+    return builder.build_generator()
+
+
+class Ala2Model(NamedTuple):
+    """Bundled flagship model: generator + params + data."""
+
+    generator: BoltzmannGenerator
+    params: object
+    data: jax.Array
+
+    @staticmethod
+    def create(key, n_data: int = 4096, **kwargs) -> "Ala2Model":
+        key_data, key_init = jax.random.split(key)
+        data = generate_ala2_data(key_data, n_samples=n_data)
+        gen = make_ala2_generator(data, **kwargs)
+        params = gen.init(key_init)
+        return Ala2Model(generator=gen, params=params, data=data)
