@@ -120,4 +120,32 @@ from .transformers.gaussian import (
     EntropyScalingLayer,
 )
 
+from .samplers.umbrella import UmbrellaSampling, BiasedEnergy
+from .utils.free_energy import bennett_acceptance_ratio, mbar, one_sided_reweighting
+from .utils.checkpoint import save_checkpoint, restore_checkpoint, latest_step
+from .utils.profiling import Timer, trace, scope
+from .parallel.mesh import make_mesh, shard_batch, replicate, data_parallel_shardings
+from .parallel.tempering import ReplicaExchangeStep, sharded_replica_exchange
+from .parallel.smc import (
+    normalize_log_weights,
+    systematic_resampling_indices,
+    resample,
+    sharded_smc_step,
+)
+
+from .flows.smooth import (
+    smooth_ramp,
+    monomial_ramp,
+    ramp_to_sigmoid,
+    affine_sigmoid,
+    wrap_around,
+    bisection_inverse,
+    inverse_with_ldj,
+)
+from .transformers.smooth import SmoothSigmoidTransformer
+from .flows.bnaf import BNAFlow
+from .energies.particles2d import RepulsiveParticles, HarmonicParticles
+from .samplers.iterator import IteratorSampler
+from .utils.autograd import brute_force_jacobian, brute_force_jacobian_trace, batch_jacobian
+
 __version__ = "0.1.0"

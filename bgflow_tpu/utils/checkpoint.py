@@ -1,0 +1,65 @@
+"""Checkpoint / resume for flow params, optimizer state, and sampler chains.
+
+The reference has no checkpointing beyond torch ``state_dict`` buffers and
+the replay buffer's HDF5 snapshots (SURVEY.md section 5); here training and
+sampling state persist via orbax (params, opt state, RNG keys, chain
+states, step counters — any pytree).
+"""
+from __future__ import annotations
+
+import os
+from typing import Any, Optional
+
+import jax
+
+__all__ = ["save_checkpoint", "restore_checkpoint", "latest_step"]
+
+
+def _manager(directory: str, max_to_keep: int = 3):
+    import orbax.checkpoint as ocp
+
+    return ocp.CheckpointManager(
+        os.path.abspath(directory),
+        options=ocp.CheckpointManagerOptions(max_to_keep=max_to_keep, create=True),
+    )
+
+
+def save_checkpoint(directory: str, step: int, state: Any, max_to_keep: int = 3) -> None:
+    """Save a pytree ``state`` (params / opt_state / sampler state / keys)."""
+    import orbax.checkpoint as ocp
+
+    mgr = _manager(directory, max_to_keep)
+    mgr.save(step, args=ocp.args.StandardSave(state))
+    mgr.wait_until_finished()
+    mgr.close()
+
+
+def restore_checkpoint(directory: str, step: Optional[int] = None, template: Any = None) -> Any:
+    """Restore the pytree saved at ``step`` (default: latest).
+
+    ``template``: a pytree with the target structure/shardings; restored
+    arrays match its sharding (pass your freshly initialized state to
+    restore directly onto a mesh).
+    """
+    import orbax.checkpoint as ocp
+
+    mgr = _manager(directory)
+    if step is None:
+        step = mgr.latest_step()
+    if step is None:
+        raise FileNotFoundError(f"no checkpoint found in {directory}")
+    if template is not None:
+        restored = mgr.restore(step, args=ocp.args.StandardRestore(template))
+    else:
+        restored = mgr.restore(step)
+    mgr.close()
+    return restored
+
+
+def latest_step(directory: str) -> Optional[int]:
+    import orbax.checkpoint as ocp
+
+    mgr = _manager(directory)
+    step = mgr.latest_step()
+    mgr.close()
+    return step

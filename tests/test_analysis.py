@@ -1,0 +1,99 @@
+"""Free-energy estimators, umbrella sampling, checkpointing, profiling."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import bgflow_tpu as bg
+from bgflow_tpu.samplers.umbrella import UmbrellaSampling
+from bgflow_tpu.utils.checkpoint import latest_step, restore_checkpoint, save_checkpoint
+from bgflow_tpu.utils.free_energy import bennett_acceptance_ratio, mbar, one_sided_reweighting
+from bgflow_tpu.utils.profiling import Timer, scope
+from tests.conftest import assert_close
+
+
+def _gaussian_work_samples(key, delta_f=2.0, n=20000):
+    """Two 1D Gaussians: u0 = x^2/2, u1 = (x-mu)^2/2 + delta_f (exact DF)."""
+    mu = 1.0
+    k0, k1 = jax.random.split(key)
+    x0 = jax.random.normal(k0, (n,))
+    x1 = mu + jax.random.normal(k1, (n,))
+    u0 = lambda x: 0.5 * x**2
+    u1 = lambda x: 0.5 * (x - mu) ** 2 + delta_f
+    forward_work = u1(x0) - u0(x0)
+    reverse_work = u0(x1) - u1(x1)
+    return forward_work, reverse_work
+
+
+def test_bar_recovers_exact_free_energy(key):
+    fw, rw = _gaussian_work_samples(key, delta_f=2.0)
+    df, ddf = bennett_acceptance_ratio(fw, rw)
+    assert_close(df, 2.0, 3e-2)
+    assert 0 < float(ddf) < 0.1
+
+
+def test_bar_matches_one_sided_in_easy_case(key):
+    fw, rw = _gaussian_work_samples(key, delta_f=0.5)
+    df, _ = bennett_acceptance_ratio(fw, rw)
+    df_fwd = one_sided_reweighting(fw)
+    assert_close(df, df_fwd, 0.05)
+
+
+def test_mbar_recovers_gaussian_ladder(key):
+    """K shifted Gaussians with known free energies (all equal ~ 0)."""
+    k_states = 4
+    n = 5000
+    mus = jnp.linspace(0, 1.5, k_states)
+    offsets = jnp.asarray([0.0, 1.0, 2.0, 3.0])  # known f_k
+    keys = jax.random.split(key, k_states)
+    samples = jnp.concatenate([mus[i] + jax.random.normal(keys[i], (n,)) for i in range(k_states)])
+    u_kn = 0.5 * (samples[None, :] - mus[:, None]) ** 2 + offsets[:, None]
+    f_k = mbar(u_kn, jnp.full(k_states, n))
+    assert_close(f_k, offsets - offsets[0], 5e-2)
+
+
+def test_umbrella_sampling_double_well(key):
+    """Umbrella windows along x of a 2D double well; MBAR PMF shows both
+    wells lower than the barrier."""
+    target = bg.DoubleWellEnergy(2)
+    centers = jnp.linspace(-2.0, 2.0, 11)
+    cv = lambda x: x[:, 0]
+    us = UmbrellaSampling(target, cv, centers, k_umbrella=20.0, noise_std=0.25,
+                          stride=5, n_burnin=100)
+    x0 = jnp.stack([centers, jnp.zeros_like(centers)], axis=-1)
+    samples = us.run(key, x0, n_iterations=400)
+    assert samples.shape == (400, 11, 2)
+    # windows stay near their centers
+    cv_means = samples[..., 0].mean(axis=0)
+    assert float(jnp.max(jnp.abs(cv_means - centers))) < 0.5
+    f_k, _ = us.free_energies(samples)
+    assert jnp.all(jnp.isfinite(f_k))
+    pmf = us.pmf(samples, jnp.linspace(-2.5, 2.5, 26))
+    pmf = pmf - pmf.min()
+    mid = pmf[12]  # barrier bin near x=0
+    left = pmf[4:9].min()
+    right = pmf[17:22].min()
+    assert float(mid) > float(left) + 1.0
+    assert float(mid) > float(right) + 1.0
+
+
+def test_checkpoint_roundtrip(tmp_path, key):
+    state = {
+        "params": {"w": jax.random.normal(key, (4, 4)), "b": jnp.zeros(4)},
+        "step": jnp.asarray(7),
+        "rng": key,
+    }
+    d = str(tmp_path / "ckpt")
+    save_checkpoint(d, 7, state)
+    assert latest_step(d) == 7
+    restored = restore_checkpoint(d, template=jax.tree_util.tree_map(jnp.zeros_like, state))
+    for a, b in zip(jax.tree_util.tree_leaves(state), jax.tree_util.tree_leaves(restored)):
+        assert_close(a, b, 1e-7)
+
+
+def test_timer_and_scope(key):
+    with Timer() as t:
+        with scope("test_phase"):
+            x = jnp.sum(jax.random.normal(key, (100, 100)) ** 2)
+    assert t.elapsed is not None and t.elapsed > 0
+    assert jnp.isfinite(x)
