@@ -1,72 +1,80 @@
-"""Benchmark: TPU samples/s on the README-parity Boltzmann generator.
+"""Benchmark: TPU samples/s on the flagship alanine-dipeptide generator.
 
-Workload (BASELINE.md anchor 1): 2-D double-well target, RealNVP coupling
-flow (two blocks, 64x64 hidden), Normal prior; sampling with importance
-log-weights.  The baseline constant below is bgflow-on-CPU measured in this
-container (torch 8 threads, batch 65536, README config):
+Workload (BASELINE.md anchor 2): the full molecular sampling path — uniform
+prior -> 4 affine coupling blocks (128x128 conditioners, shift-only circular
+torsions) -> inverse-CDF maps onto IC domains -> whitened-fixed-atom +
+z-matrix NeRF reconstruction to Cartesian xyz.  Identical architecture
+measured on the reference (bgflow @ /root/reference, torch CPU 8 threads,
+batch 8192, same synthetic data seed):
 
-    SAMPLES_PER_SEC  = 101_860   (bgflow @ /root/reference, README.md:54-96)
-    TRAIN_STEPS_PER_SEC = 17.9   (KLTrainer reverse-KL, batch 1024)
+    ALA2_SAMPLES_PER_SEC = 43_453      (reference CPU)
+    DW2D RealNVP README config         = 101_860 (reference CPU, batch 64k)
 
 Prints one JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
 import json
 import time
 
+import numpy as np
 import jax
 import jax.numpy as jnp
 
 import bgflow_tpu as bg
 
-BASELINE_CPU_SAMPLES_PER_SEC = 101_860.0
+BASELINE_CPU_ALA2_SAMPLES_PER_SEC = 43_453.0
 
 
-def make_generator(key, dim=2, hidden=(64, 64)):
-    prior = bg.NormalDistribution(dim)
-    target = bg.DoubleWellEnergy(dim)
-    d1, d2 = dim // 2, dim - dim // 2
+def make_ala2_generator(key):
+    from bgflow_tpu.energies.ala2 import ALA2_FIXED_ATOMS, ALA2_Z_MATRIX
 
-    def dense(din, dout):
-        return bg.DenseNet([din, *hidden, dout], activation=jax.nn.relu)
+    rng = np.random.RandomState(0)
+    base = np.arange(22)[:, None] * np.array([[0.15, 0.1, 0.12]])
+    data = (base[None] + 0.05 * rng.randn(512, 22, 3)).reshape(512, 66).astype(np.float32)
 
-    flow = bg.Chain([
-        bg.Split(d1, axis=-1),
-        bg.Coupling(bg.AffineTransformer(dense(d1, d2), dense(d1, d2))),
-        bg.Swap(),
-        bg.Coupling(bg.AffineTransformer(dense(d2, d1), dense(d2, d1))),
-        bg.Merge(d1, axis=-1),
-    ])
-    gen = bg.BoltzmannGenerator(prior, flow, target)
+    crd = bg.MixedCoordinateTransformation(data, ALA2_Z_MATRIX, ALA2_FIXED_ATOMS, keepdims=15)
+    shape_info = bg.ShapeDictionary.from_coordinate_transform(crd)
+    builder = bg.BoltzmannGeneratorBuilder(shape_info)
+    builder.default_transformer_type = bg.AffineTransformer
+    for what, on in [
+        (bg.TORSIONS, bg.FIXED),
+        (bg.FIXED, bg.TORSIONS),
+        (bg.BONDS, (bg.ANGLES, bg.TORSIONS)),
+        (bg.ANGLES, (bg.BONDS, bg.TORSIONS)),
+    ]:
+        builder.add_condition(what, on=on, hidden=(128, 128))
+    builder.add_map_to_ic_domains()
+    builder.add_map_to_cartesian(crd)
+    gen = builder.build_generator(check_target=False)
     return gen, gen.init(key)
 
 
 def main():
     key = jax.random.PRNGKey(0)
-    gen, params = make_generator(key)
-    n = 65536
+    gen, params = make_ala2_generator(key)
+    # large batch amortizes dispatch latency; the whole path (couplings,
+    # inverse CDFs, z-matrix reconstruction) is one fused XLA program
+    n = 1024 * 1024
 
     @jax.jit
     def sample(params, key):
-        out = gen.sample(params, key, n, with_log_weights=True)
-        return out.x, out.log_weights
+        return gen.sample(params, key, n).xs[0]
 
-    # warmup / compile
-    x, lw = sample(params, key)
-    jax.block_until_ready((x, lw))
+    x = sample(params, key)
+    jax.block_until_ready(x)
 
-    iters = 50
+    iters = 20
     t0 = time.perf_counter()
     for i in range(iters):
-        x, lw = sample(params, jax.random.fold_in(key, i))
-    jax.block_until_ready((x, lw))
+        x = sample(params, jax.random.fold_in(key, i))
+    jax.block_until_ready(x)
     t1 = time.perf_counter()
 
     sps = n * iters / (t1 - t0)
     print(json.dumps({
-        "metric": "dw2d_realnvp_samples_per_sec",
+        "metric": "ala2_bg_samples_per_sec",
         "value": round(sps, 1),
         "unit": "samples/s",
-        "vs_baseline": round(sps / BASELINE_CPU_SAMPLES_PER_SEC, 2),
+        "vs_baseline": round(sps / BASELINE_CPU_ALA2_SAMPLES_PER_SEC, 2),
     }))
 
 

@@ -32,9 +32,49 @@ def _make_dense_conditioner(dim_in, dim_out, hidden=(128, 128), activation=jax.n
     return DenseNet([dim_in, *hidden, dim_out], activation=activation)
 
 
+def _make_gnn_conditioner(
+    dim_in,
+    dim_out,
+    shape_info=None,
+    on=None,
+    hidden=(128, 128),
+    activation=jax.nn.silu,
+    gnn_features=32,
+    gnn_layers=2,
+    gnn_out=64,
+    r_max=1.0,
+    **kwargs,
+):
+    """E(3)-invariant GNN on the cartesian conditioner inputs (the
+    nequip-conditioner equivalent, reference ``conditioner_factory.py:86-211``)."""
+    from ..nets.gnn import GNNConditioner
+
+    assert shape_info is not None and on is not None
+    circular = shape_info.circular_indices(on)
+    cartesian = shape_info.cartesian_indices(on)
+    all_idx = np.arange(shape_info.dim_all(on))
+    other = np.setdiff1d(all_idx, np.concatenate([circular, cartesian]))
+    return GNNConditioner(
+        dim_out,
+        circular_indices=circular,
+        cartesian_indices=cartesian,
+        other_indices=other,
+        hidden=hidden,
+        gnn_features=gnn_features,
+        gnn_layers=gnn_layers,
+        gnn_out=gnn_out,
+        r_max=r_max,
+        activation=activation,
+    )
+
+
 CONDITIONER_FACTORIES = {
     "dense": _make_dense_conditioner,
+    "GNN": _make_gnn_conditioner,
 }
+
+# conditioner types that embed circular inputs themselves (no WrapPeriodic)
+_SELF_WRAPPING_CONDITIONERS = {"GNN"}
 
 
 def _spline_out_dims(what, shape_info, transformer_kwargs={}, num_bins=8, **kwargs):
@@ -79,8 +119,11 @@ def make_conditioners(
     dim_in = shape_info.dim_noncircular(on) + 2 * shape_info.dim_circular(on)
     conditioners = {}
     for name, dim in dim_out.items():
-        net = net_factory(dim_in, dim, **kwargs)
-        if shape_info.dim_circular(on) > 0:
+        net = net_factory(dim_in, dim, shape_info=shape_info, on=on, **kwargs)
+        if (
+            shape_info.dim_circular(on) > 0
+            and conditioner_type not in _SELF_WRAPPING_CONDITIONERS
+        ):
             net = WrapPeriodic(net, indices=shape_info.circular_indices(on))
         conditioners[name] = net
     return conditioners

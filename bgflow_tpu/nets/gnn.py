@@ -1,0 +1,143 @@
+"""E(3)-invariant graph-network conditioner.
+
+TPU-native replacement for the reference's nequip/allegro conditioner stack
+(``bgflow/factory/GNN_factory.py:29-511``, ``conditioner_factory.py:86-211``):
+message passing over the dense pair graph with RBF-featurized distances.
+Using only invariant features (distances) keeps the conditioner E(3)-
+invariant — exactly the symmetry the coupling conditioner needs — while
+every op is a dense batched matmul (MXU-friendly), with no torch/e3nn
+dependency.
+
+The ``GNNConditioner`` mirrors the reference's input handling: circular
+features are sin/cos-wrapped, cartesian features are routed through the GNN,
+and the dense head consumes [wrapped-circular, noncircular, GNN readout].
+"""
+from __future__ import annotations
+
+from typing import Sequence
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..ops.rbf import kernelize_with_rbf
+from .dense import DenseNet, Net
+
+__all__ = ["InvariantGNN", "GNNConditioner"]
+
+
+class InvariantGNN(Net):
+    """Distance-based message passing over a dense atom graph.
+
+    Input (B, n_atoms*3) cartesian coordinates -> (B, dim_out) invariant
+    embedding.  Messages m_ij = MLP([h_i, h_j, RBF(d_ij)]); node update
+    h_i' = MLP([h_i, sum_j m_ij]); readout = MLP(mean_i h_i).
+    """
+
+    def __init__(
+        self,
+        n_atoms: int,
+        dim_out: int,
+        n_features: int = 32,
+        n_layers: int = 2,
+        n_rbf: int = 16,
+        r_max: float = 1.0,
+        activation=jax.nn.silu,
+    ):
+        self.n_atoms = n_atoms
+        self.dim_out = dim_out
+        self.n_features = n_features
+        self.n_layers = n_layers
+        self.n_rbf = n_rbf
+        self.mus = jnp.linspace(0.0, r_max, n_rbf)
+        self.gamma = r_max / n_rbf
+        f = n_features
+        self.embed = DenseNet([n_rbf, f], activation=None)
+        self.message_nets = [
+            DenseNet([2 * f + n_rbf, f, f], activation=activation) for _ in range(n_layers)
+        ]
+        self.update_nets = [
+            DenseNet([2 * f, f], activation=activation) for _ in range(n_layers)
+        ]
+        self.readout = DenseNet([f, f, dim_out], activation=activation)
+
+    def init(self, key):
+        keys = jax.random.split(key, 2 + 2 * self.n_layers)
+        return {
+            "embed": self.embed.init(keys[0]),
+            "messages": [n.init(k) for n, k in zip(self.message_nets, keys[1 : 1 + self.n_layers])],
+            "updates": [
+                n.init(k)
+                for n, k in zip(self.update_nets, keys[1 + self.n_layers : 1 + 2 * self.n_layers])
+            ],
+            "readout": self.readout.init(keys[-1]),
+        }
+
+    def apply(self, params, x):
+        b = x.shape[0]
+        pos = x.reshape(b, self.n_atoms, 3)
+        diff = pos[:, :, None, :] - pos[:, None, :, :]
+        d = jnp.sqrt(jnp.sum(diff * diff, axis=-1) + 1e-12)  # (B, N, N)
+        rbf = kernelize_with_rbf(d[..., None], self.mus, self.gamma)  # (B, N, N, K)
+        mask = 1.0 - jnp.eye(self.n_atoms)
+
+        # initial node features from the atom's distance fingerprint
+        h = self.embed.apply(params["embed"], jnp.sum(rbf * mask[None, :, :, None], axis=2))
+        for msg_net, msg_p, upd_net, upd_p in zip(
+            self.message_nets, params["messages"], self.update_nets, params["updates"]
+        ):
+            hi = jnp.broadcast_to(h[:, :, None, :], (b, self.n_atoms, self.n_atoms, h.shape[-1]))
+            hj = jnp.broadcast_to(h[:, None, :, :], (b, self.n_atoms, self.n_atoms, h.shape[-1]))
+            edge_in = jnp.concatenate([hi, hj, rbf], axis=-1)
+            m = msg_net.apply(msg_p, edge_in) * mask[None, :, :, None]
+            agg = jnp.sum(m, axis=2)
+            h = h + upd_net.apply(upd_p, jnp.concatenate([h, agg], axis=-1))
+        return self.readout.apply(params["readout"], jnp.mean(h, axis=1))
+
+
+class GNNConditioner(Net):
+    """Coupling conditioner: GNN on cartesian inputs + dense head on the rest.
+
+    Mirrors the reference's split (``conditioner_factory.py:86-211``):
+    circular features -> sin/cos pairs, cartesian -> GNN embedding,
+    everything concatenated into a dense output head.
+    """
+
+    def __init__(
+        self,
+        dim_out: int,
+        circular_indices: np.ndarray,
+        cartesian_indices: np.ndarray,
+        other_indices: np.ndarray,
+        hidden: Sequence[int] = (128, 128),
+        gnn_features: int = 32,
+        gnn_layers: int = 2,
+        gnn_out: int = 64,
+        r_max: float = 1.0,
+        activation=jax.nn.silu,
+    ):
+        self.circular = np.asarray(circular_indices, dtype=int)
+        self.cartesian = np.asarray(cartesian_indices, dtype=int)
+        self.other = np.asarray(other_indices, dtype=int)
+        assert len(self.cartesian) % 3 == 0
+        n_atoms = len(self.cartesian) // 3
+        self.gnn = InvariantGNN(
+            n_atoms, gnn_out, n_features=gnn_features, n_layers=gnn_layers, r_max=r_max
+        )
+        head_in = 2 * len(self.circular) + len(self.other) + gnn_out
+        self.head = DenseNet([head_in, *hidden, dim_out], activation=activation)
+
+    def init(self, key):
+        k1, k2 = jax.random.split(key)
+        return {"gnn": self.gnn.init(k1), "head": self.head.init(k2)}
+
+    def apply(self, params, x):
+        feats = []
+        if len(self.circular):
+            c = x[..., self.circular]
+            arg = 2 * jnp.pi * c
+            feats.extend([jnp.cos(arg), jnp.sin(arg)])
+        if len(self.other):
+            feats.append(x[..., self.other])
+        feats.append(self.gnn.apply(params["gnn"], x[..., self.cartesian]))
+        return self.head.apply(params["head"], jnp.concatenate(feats, axis=-1))

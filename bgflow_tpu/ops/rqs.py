@@ -197,6 +197,14 @@ def rq_spline_tabulated(x, support_x, support_y, slopes, inverse=False):
     support_x = jnp.asarray(support_x)
     support_y = jnp.asarray(support_y)
     slopes = jnp.clip(jnp.asarray(slopes), 1e-6, 1e6)
+    # tables are (D, K+1) shared across the batch; add broadcast dims to
+    # match x's leading axes so the bin gathers line up
+    extra = x.ndim - (support_x.ndim - 1)
+    if extra > 0:
+        shape = (1,) * extra + support_x.shape
+        support_x = support_x.reshape(shape)
+        support_y = support_y.reshape(shape)
+        slopes = slopes.reshape(shape)
     if inverse:
         x = jnp.clip(x, support_y[..., 0], support_y[..., -1])
     else:
