@@ -148,4 +148,9 @@ from .energies.particles2d import RepulsiveParticles, HarmonicParticles
 from .samplers.iterator import IteratorSampler
 from .utils.autograd import brute_force_jacobian, brute_force_jacobian_trace, batch_jacobian
 
+from .flows.circular import CircularTransform, ConditionalCircularTransform
+from .utils.permutation import HungarianMapper
+from .utils.trajectory import save_pdb_trajectory, save_xyz_trajectory, NumpyReporter
+from .nets.gnn import InvariantGNN, GNNConditioner
+
 __version__ = "0.1.0"

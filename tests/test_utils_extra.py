@@ -1,0 +1,74 @@
+"""Permutation mapper, trajectory writers, chunked sampling, circular flows."""
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import bgflow_tpu as bg
+from tests.conftest import assert_close
+
+
+def test_hungarian_mapper():
+    ref = np.array([0.0, 0.0, 1.0, 0.0, 0.0, 1.0])  # 3 particles in 2D
+    mapper = bg.HungarianMapper(ref, n_dimensions=2)
+    # permuted configuration (particles 0 and 2 swapped) + noise
+    x = np.array([[0.02, 1.01, 1.0, 0.01, 0.01, -0.02]])
+    mapped = mapper.map(x)
+    # after mapping, particle order matches the reference layout
+    assert np.linalg.norm(mapped[0, :2] - ref[:2]) < 0.1
+    assert np.linalg.norm(mapped[0, 2:4] - ref[2:4]) < 0.1
+    assert mapper.is_permuted(x)[0]
+    assert not mapper.is_permuted(ref[None])[0]
+
+
+def test_trajectory_writers(tmp_path):
+    pos = np.random.RandomState(0).randn(3, 4, 3) * 0.1
+    names = ["C", "N", "O", "H"]
+    pdb = str(tmp_path / "traj.pdb")
+    bg.save_pdb_trajectory(pdb, pos, names)
+    text = open(pdb).read()
+    assert text.count("MODEL") == 3
+    assert text.count("ATOM") == 12
+    xyz = str(tmp_path / "traj.xyz")
+    bg.save_xyz_trajectory(xyz, pos, names)
+    assert open(xyz).read().count("C ") >= 3
+
+    rep = bg.NumpyReporter(str(tmp_path / "r.npz"))
+    rep.report(pos[0])
+    rep.report(pos[1])
+    rep.save(meta=np.array([1.0]))
+    data = np.load(str(tmp_path / "r.npz"))
+    assert data["samples"].shape == (2, 4, 3)
+
+
+def test_sample_to_host(key):
+    d = bg.NormalDistribution(3)
+    out = d.sample_to_host(key, 150, batch_size=64)
+    assert isinstance(out, np.ndarray)
+    assert out.shape == (150, 3)
+
+
+def test_circular_transform_roundtrip(key):
+    flow = bg.CircularTransform(dim=3)
+    params = flow.init(key)
+    x = jax.random.uniform(key, (8, 3))
+    (y,), ldj = flow.forward(params, (x,))
+    assert jnp.all((y >= 0) & (y <= 1))
+    (x2,), ldj_inv = flow.forward(params, (y,), inverse=True)
+    assert_close(x, x2, 1e-4)
+    assert_close(ldj, -ldj_inv, 1e-3)
+
+
+def test_conditional_circular_transform(key):
+    net = bg.DenseNet([2, 16, 3 * 4], activation=jax.nn.silu)
+    flow = bg.ConditionalCircularTransform(net, dim=3)
+    params = flow.init(key)
+    cond = jax.random.normal(key, (5, 2))
+    y = jax.random.uniform(jax.random.PRNGKey(1), (5, 3))
+    (c2, z), ldj = flow.forward(params, (cond, y))
+    assert_close(c2, cond, 1e-7)
+    (_, y2), ldj_inv = flow.forward(params, (cond, z), inverse=True)
+    assert_close(y, y2, 1e-4)
+    assert_close(ldj, -ldj_inv, 1e-3)
