@@ -178,15 +178,12 @@ class RelativeInternalCoordinateTransformation(Flow):
         x2 = x[:, zm[:, 2]]
         x3 = x[:, zm[:, 3]]
 
-        def measure(p):
-            return (
-                icops.dist(p, x1, self.eps),
-                icops.angle(p, x1, x2, self.eps),
-                icops.torsion(p, x1, x2, x3, self.eps),
-            )
-
-        (bonds, angles, torsions), ld = icops.jac_logdet_3(measure, x0)
-        dlogp = jnp.sum(ld, axis=-1)
+        bonds = icops.dist(x0, x1, self.eps)
+        angles = icops.angle(x0, x1, x2, self.eps)
+        torsions = icops.torsion(x0, x1, x2, x3, self.eps)
+        # |det d(b,a,t)/dx0| = 1 / (b^2 sin(a)) — the spherical volume
+        # element of the placement map (closed form; no jvp passes needed)
+        dlogp = -jnp.sum(icops.placement_logdet(bonds, angles, self.eps), axis=-1)
 
         x_fixed = x[:, self._fixed_atoms].reshape(n_batch, -1)
 
@@ -208,25 +205,27 @@ class RelativeInternalCoordinateTransformation(Flow):
         n_batch = x_fixed.shape[0]
         x_init = x_fixed.reshape(n_batch, -1, 3)
         n_fixed = x_init.shape[1]
+        n_total = n_fixed + bonds.shape[-1]
 
-        # points accumulated in reconstruction order, stage by stage
-        points = x_init
+        # preallocated reconstruction buffer; each stage writes a contiguous
+        # slab (static offsets -> XLA updates in place, no per-stage copies)
+        points = jnp.zeros((n_batch, n_total, 3), dtype=x_fixed.dtype)
+        points = jax.lax.dynamic_update_slice_in_dim(points, x_init, 0, axis=1)
+        offset = n_fixed
         for block in self._blocks:
             ref = self._atom2index[block]  # recon-order indices of [atom, c1, c2, c3]
             p1 = points[:, ref[:, 1]]
             p2 = points[:, ref[:, 2]]
             p3 = points[:, ref[:, 3]]
             idx = self._index2order[ref[:, 0] - n_fixed]  # z-matrix rows of this stage
-            bat = jnp.stack([bonds[:, idx], angles[:, idx], torsions[:, idx]], axis=-1)
-
-            def place(bat_, p1=p1, p2=p2, p3=p3):
-                return icops.ic_to_xyz(
-                    p1, p2, p3, bat_[..., 0], bat_[..., 1], bat_[..., 2], eps=self.eps
-                )
-
-            p, ld = icops.jac_logdet_3(place, bat)
-            dlogp = dlogp + jnp.sum(ld, axis=-1)
-            points = jnp.concatenate([points, p], axis=1)
+            b = bonds[:, idx]
+            a = angles[:, idx]
+            t = torsions[:, idx]
+            p = icops.ic_to_xyz(p1, p2, p3, b, a, t, eps=self.eps)
+            # closed-form |det dx/d(b,a,t)| = b^2 sin(a)
+            dlogp = dlogp + jnp.sum(icops.placement_logdet(b, a, self.eps), axis=-1)
+            points = jax.lax.dynamic_update_slice_in_dim(points, p, offset, axis=1)
+            offset += p.shape[1]
 
         # reorder from reconstruction order back to atom order
         points = points[:, self._atom2index]

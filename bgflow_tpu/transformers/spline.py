@@ -34,6 +34,7 @@ class ConditionalSplineTransformer(Transformer):
         right: float = 1.0,
         bottom: float = 0.0,
         top: float = 1.0,
+        use_pallas: bool = False,
     ):
         self.params_net = params_net
         self.is_circular = np.asarray(is_circular, dtype=bool)
@@ -41,6 +42,9 @@ class ConditionalSplineTransformer(Transformer):
         self.right = float(right)
         self.bottom = float(bottom)
         self.top = float(top)
+        # opt-in fused Pallas kernel (ops/rqs_pallas.py); numerically
+        # equivalent to the XLA path
+        self.use_pallas = bool(use_pallas)
 
     def init(self, key):
         return self.params_net.init(key)
@@ -78,7 +82,11 @@ class ConditionalSplineTransformer(Transformer):
 
     def _apply(self, params, x, y, spline_inverse: bool):
         w, h, slopes = self._compute_params(params, x, y.shape[-1])
-        z, ldj = rq_spline(
+        if self.use_pallas:
+            from ..ops.rqs_pallas import rq_spline_pallas as _rqs
+        else:
+            _rqs = rq_spline
+        z, ldj = _rqs(
             y,
             w,
             h,
