@@ -28,8 +28,10 @@ __all__ = ["make_conditioners", "make_transformer", "make_distribution",
 # ------------------------------------------------------------ conditioners
 
 
-def _make_dense_conditioner(dim_in, dim_out, hidden=(128, 128), activation=jax.nn.silu, **kwargs):
-    return DenseNet([dim_in, *hidden, dim_out], activation=activation)
+def _make_dense_conditioner(
+    dim_in, dim_out, hidden=(128, 128), activation=jax.nn.silu, compute_dtype=None, **kwargs
+):
+    return DenseNet([dim_in, *hidden, dim_out], activation=activation, compute_dtype=compute_dtype)
 
 
 def _make_gnn_conditioner(

@@ -127,6 +127,7 @@ class RelativeInternalCoordinateTransformation(Flow):
         fixed_atoms: np.ndarray,
         normalize_angles: bool = True,
         eps: float = 1e-7,
+        use_pallas: bool = False,
     ):
         self._z_matrix = np.asarray(z_matrix)
         self._fixed_atoms = np.asarray(fixed_atoms)
@@ -135,6 +136,13 @@ class RelativeInternalCoordinateTransformation(Flow):
         )
         self.normalize_angles = normalize_angles
         self.eps = eps
+        # fused Pallas reconstruction kernel (ops/ic_pallas.py)
+        self.use_pallas = bool(use_pallas)
+        from ..ops.ic_pallas import build_plan
+
+        self._pallas_plan = build_plan(
+            self._blocks, self._atom2index, self._index2order, len(self._fixed_atoms)
+        )
 
     # -- metadata ---------------------------------------------------------
     @property
@@ -207,28 +215,49 @@ class RelativeInternalCoordinateTransformation(Flow):
         n_fixed = x_init.shape[1]
         n_total = n_fixed + bonds.shape[-1]
 
-        # preallocated reconstruction buffer; each stage writes a contiguous
-        # slab (static offsets -> XLA updates in place, no per-stage copies)
-        points = jnp.zeros((n_batch, n_total, 3), dtype=x_fixed.dtype)
-        points = jax.lax.dynamic_update_slice_in_dim(points, x_init, 0, axis=1)
+        # Atom-major layout: all per-stage reads/writes become static
+        # leading-axis slices.  Minor-axis (lane) gathers of (B, 17) arrays
+        # cost ~50x more than major-axis slices on TPU, and the stage loop
+        # does a dozen of them — this layout removes them all.
+        bonds_t = bonds.T  # (D, B)
+        angles_t = angles.T
+        torsions_t = torsions.T
+
+        # closed-form |det dx/d(b,a,t)| = b^2 sin(a), summed over all rows
+        dlogp = dlogp + jnp.sum(icops.placement_logdet(bonds, angles, self.eps), axis=-1)
+
+        if self.use_pallas:
+            from ..ops.ic_pallas import ic_reconstruct_pallas
+
+            fixed_t = x_init.reshape(n_batch, -1).T  # (n_fixed*3, B)
+            pts = ic_reconstruct_pallas(
+                bonds_t, angles_t, torsions_t, fixed_t,
+                self._pallas_plan, n_total, eps=self.eps,
+            )  # (n_total*3, B) recon order
+            pts = pts.reshape(n_total, 3, n_batch)
+            pts = jnp.transpose(pts[self._atom2index], (2, 0, 1))
+            return (pts.reshape(n_batch, -1),), dlogp
+
+        points = jnp.zeros((n_total, n_batch, 3), dtype=x_fixed.dtype)
+        points = jax.lax.dynamic_update_slice_in_dim(
+            points, jnp.transpose(x_init, (1, 0, 2)), 0, axis=0
+        )
         offset = n_fixed
         for block in self._blocks:
             ref = self._atom2index[block]  # recon-order indices of [atom, c1, c2, c3]
-            p1 = points[:, ref[:, 1]]
-            p2 = points[:, ref[:, 2]]
-            p3 = points[:, ref[:, 3]]
+            p1 = points[ref[:, 1]]  # (m, B, 3) — static-index slices
+            p2 = points[ref[:, 2]]
+            p3 = points[ref[:, 3]]
             idx = self._index2order[ref[:, 0] - n_fixed]  # z-matrix rows of this stage
-            b = bonds[:, idx]
-            a = angles[:, idx]
-            t = torsions[:, idx]
+            b = bonds_t[idx]  # (m, B) — static leading-axis slices
+            a = angles_t[idx]
+            t = torsions_t[idx]
             p = icops.ic_to_xyz(p1, p2, p3, b, a, t, eps=self.eps)
-            # closed-form |det dx/d(b,a,t)| = b^2 sin(a)
-            dlogp = dlogp + jnp.sum(icops.placement_logdet(b, a, self.eps), axis=-1)
-            points = jax.lax.dynamic_update_slice_in_dim(points, p, offset, axis=1)
-            offset += p.shape[1]
+            points = jax.lax.dynamic_update_slice_in_dim(points, p, offset, axis=0)
+            offset += p.shape[0]
 
-        # reorder from reconstruction order back to atom order
-        points = points[:, self._atom2index]
+        # back to batch-major, reordered from reconstruction to atom order
+        points = jnp.transpose(points[self._atom2index], (1, 0, 2))
         return (points.reshape(n_batch, -1),), dlogp
 
 
@@ -470,13 +499,15 @@ class MixedCoordinateTransformation(Flow):
         keepdims: Optional[int] = None,
         normalize_angles: bool = True,
         eps: float = 1e-7,
+        use_pallas: bool = False,
     ):
         data = np.asarray(data)
         n_data = data.shape[0]
         fixed = data.reshape(n_data, -1, 3)[:, np.asarray(fixed_atoms)].reshape(n_data, -1)
         self._whiten = WhitenFlow(fixed, keepdims=keepdims, whiten_inverse=False)
         self._rel_ic = RelativeInternalCoordinateTransformation(
-            z_matrix=z_matrix, fixed_atoms=fixed_atoms, normalize_angles=normalize_angles, eps=eps
+            z_matrix=z_matrix, fixed_atoms=fixed_atoms, normalize_angles=normalize_angles,
+            eps=eps, use_pallas=use_pallas,
         )
 
     @property

@@ -52,6 +52,7 @@ class DenseNet(Net):
         activation: Union[Callable, Sequence[Callable], None] = jax.nn.silu,
         weight_scale: float = 1.0,
         bias_scale: float = 0.0,
+        compute_dtype=None,
     ):
         self.units = tuple(int(u) for u in units)
         n_hidden = len(self.units) - 2
@@ -62,6 +63,10 @@ class DenseNet(Net):
             self.activations = tuple(activation)
         self.weight_scale = float(weight_scale)
         self.bias_scale = float(bias_scale)
+        # compute_dtype=jnp.bfloat16 runs the matmuls on the MXU's fast
+        # bf16 path (f32 accumulation via preferred_element_type); params
+        # and activations stay f32 outside the dot
+        self.compute_dtype = compute_dtype
 
     @property
     def dim_in(self):
@@ -88,8 +93,16 @@ class DenseNet(Net):
 
     def apply(self, params, x):
         n_layers = len(self.units) - 1
+        out_dtype = x.dtype
         for i, p in enumerate(params):
-            x = jnp.dot(x, p["w"], preferred_element_type=x.dtype) + p["b"]
+            if self.compute_dtype is not None:
+                x = jnp.dot(
+                    x.astype(self.compute_dtype),
+                    p["w"].astype(self.compute_dtype),
+                    preferred_element_type=out_dtype,
+                ) + p["b"]
+            else:
+                x = jnp.dot(x, p["w"], preferred_element_type=x.dtype) + p["b"]
             if i < n_layers - 1:
                 act = self.activations[i]
                 if act is not None:

@@ -1,0 +1,38 @@
+"""Fused Pallas IC reconstruction vs the XLA path (interpreter mode)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import bgflow_tpu as bg
+from tests.test_ic import ALA2_FIXED, ALA2_Z_MATRIX, _random_ala2_xyz
+from tests.conftest import assert_close
+
+
+def test_pallas_reconstruction_matches_xla(key):
+    flow_ref = bg.RelativeInternalCoordinateTransformation(ALA2_Z_MATRIX, ALA2_FIXED)
+    flow_pal = bg.RelativeInternalCoordinateTransformation(
+        ALA2_Z_MATRIX, ALA2_FIXED, use_pallas=True
+    )
+    x = _random_ala2_xyz(key, 8, jnp.float32)
+    ics, dlogp_fwd = flow_ref.forward((), (x,))
+    (x_ref,), ld_ref = flow_ref.forward((), ics, inverse=True)
+    (x_pal,), ld_pal = flow_pal.forward((), ics, inverse=True)
+    assert_close(x_pal, x_ref, 1e-5)
+    assert_close(ld_pal, ld_ref, 1e-5)
+    # and it round-trips against the forward
+    assert_close(x_pal, x, 1e-3)
+
+
+def test_pallas_mixed_transform(key):
+    data = np.asarray(_random_ala2_xyz(jax.random.PRNGKey(42), 200, jnp.float64))
+    mixed_ref = bg.MixedCoordinateTransformation(data, ALA2_Z_MATRIX, ALA2_FIXED, keepdims=15)
+    mixed_pal = bg.MixedCoordinateTransformation(
+        data, ALA2_Z_MATRIX, ALA2_FIXED, keepdims=15, use_pallas=True
+    )
+    x = _random_ala2_xyz(key, 4, jnp.float32)
+    ics, _ = mixed_ref.forward((), (x,))
+    (x_ref,), ld_ref = mixed_ref.forward((), ics, inverse=True)
+    (x_pal,), ld_pal = mixed_pal.forward((), ics, inverse=True)
+    assert_close(x_pal, x_ref, 1e-4)
+    assert_close(ld_pal, ld_ref, 1e-4)
