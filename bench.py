@@ -58,7 +58,7 @@ def main():
     gen, params = make_ala2_generator(key)
     # large batch amortizes dispatch latency; the whole path (couplings,
     # inverse CDFs, z-matrix reconstruction) is one fused XLA program
-    n = 1024 * 1024
+    n = 4 * 1024 * 1024
 
     @jax.jit
     def sample(params, key):
@@ -67,7 +67,7 @@ def main():
     x = sample(params, key)
     jax.block_until_ready(x)
 
-    iters = 20
+    iters = 10
     t0 = time.perf_counter()
     for i in range(iters):
         x = sample(params, jax.random.fold_in(key, i))

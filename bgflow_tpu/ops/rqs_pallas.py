@@ -63,8 +63,16 @@ def _rqs_kernel(
 
     widths = norm_bins(w_raw, min_bin_width, right - left)
     heights = norm_bins(h_raw, min_bin_height, top - bottom)
-    cumx_in = left + jnp.cumsum(widths, axis=-1)  # interior+last edges
-    cumy_in = bottom + jnp.cumsum(heights, axis=-1)
+    # cumulative sums as a triangular matmul (Mosaic has no cumsum primitive;
+    # for K <= 32 this is one tiny MXU pass)
+    # M[j, i] = 1 for j <= i, so (w @ M)[i] = sum_{j<=i} w[j]
+    tri = jnp.triu(jnp.ones((num_bins, num_bins), dtype=widths.dtype))
+    cumx_in = left + jax.lax.dot_general(
+        widths, tri, (((1,), (0,)), ((), ())), preferred_element_type=widths.dtype
+    )
+    cumy_in = bottom + jax.lax.dot_general(
+        heights, tri, (((1,), (0,)), ((), ())), preferred_element_type=heights.dtype
+    )
     derivs = min_derivative + jax.nn.softplus(s_raw + shift)  # (rows, K+1)
 
     x = jnp.clip(x, bottom if inverse else left, top if inverse else right)
