@@ -1,19 +1,19 @@
 """Pallas TPU kernel for the rational-quadratic spline.
 
-One fused VMEM pass per tile: softmax bin normalization, cumulative knot
-positions, branchless bin search, and the RQ forward/inverse evaluation all
-happen in registers — no HBM round trips between stages and no gather ops
-(bin selection is a one-hot masked reduction over the small bin axis).
+One fused VMEM pass: softmax bin normalization, cumulative knot positions,
+branchless bin search, and the RQ forward/inverse evaluation happen in
+registers — no HBM round trips between stages and no gather ops.
 
-Layout: elements (= batch x dims, flattened) ride the sublane axis in tiles
-of ``block_rows``; the bin axis (K <= 128) rides the lanes.  For typical
-K = 8..32 this underfills the 128-lane VPU but keeps every op a dense
-(rows, K) elementwise/reduce — the kernel is bandwidth-bound and reads each
-parameter exactly once.
+Layout (the part that matters on TPU): elements ride the (sublane, lane)
+grid as (rows, 128) tiles and the small bin axis K becomes the *leading*
+axis — arrays are reorganized to (K, N/128, 128).  This gives zero HBM
+padding (a flattened (N, K) layout pads K -> 128 lanes, a 16x memory and
+bandwidth tax that OOMs at molecular batch sizes) and every in-kernel op is
+a dense full-width VPU op over (block_rows, 128) tiles with the K loop
+unrolled at trace time.
 
-Semantics match ``ops/rqs.rq_spline`` exactly (same clamping, identity
-init); ``tests/test_rqs_pallas.py`` checks bit-level agreement in
-interpreter mode and on device.
+Semantics match ``ops/rqs.rq_spline``; validated in interpreter mode and on
+device by ``tests/test_rqs_pallas.py``.
 """
 from __future__ import annotations
 
@@ -29,14 +29,16 @@ from .rqs import DEFAULT_MIN_BIN_HEIGHT, DEFAULT_MIN_BIN_WIDTH, DEFAULT_MIN_DERI
 
 __all__ = ["rq_spline_pallas"]
 
+_LANES = 128
+
 
 def _rqs_kernel(
-    x_ref,
-    w_ref,
-    h_ref,
-    s_ref,
-    y_ref,
-    ldj_ref,
+    x_ref,      # (block, 128)
+    w_ref,      # (K, block, 128)
+    h_ref,      # (K, block, 128)
+    s_ref,      # (K+1, block, 128)
+    y_ref,      # (block, 128)
+    ldj_ref,    # (block, 128)
     *,
     inverse: bool,
     left: float,
@@ -49,57 +51,55 @@ def _rqs_kernel(
     shift: float,
     num_bins: int,
 ):
-    x = x_ref[:, 0]
-    w_raw = w_ref[:, :]
-    h_raw = h_ref[:, :]
-    s_raw = s_ref[:, :]
+    K = num_bins
+    w = [w_ref[k] for k in range(K)]
+    h = [h_ref[k] for k in range(K)]
+    s = [s_ref[k] for k in range(K + 1)]
 
-    # softmax-normalized bin sizes with minimum width
-    def norm_bins(raw, min_size, total):
-        m = jnp.max(raw, axis=-1, keepdims=True)
-        e = jnp.exp(raw - m)
-        p = e / jnp.sum(e, axis=-1, keepdims=True)
-        return (min_size + (1.0 - min_size * num_bins) * p) * total
+    def softmax_scale(raw, min_size, total):
+        m = raw[0]
+        for r in raw[1:]:
+            m = jnp.maximum(m, r)
+        exps = [jnp.exp(r - m) for r in raw]
+        z = exps[0]
+        for e in exps[1:]:
+            z = z + e
+        inv = 1.0 / z
+        return [(min_size + (1.0 - min_size * K) * e * inv) * total for e in exps]
 
-    widths = norm_bins(w_raw, min_bin_width, right - left)
-    heights = norm_bins(h_raw, min_bin_height, top - bottom)
-    # cumulative sums as a triangular matmul (Mosaic has no cumsum primitive;
-    # for K <= 32 this is one tiny MXU pass)
-    # M[j, i] = 1 for j <= i, so (w @ M)[i] = sum_{j<=i} w[j]
-    tri = jnp.triu(jnp.ones((num_bins, num_bins), dtype=widths.dtype))
-    cumx_in = left + jax.lax.dot_general(
-        widths, tri, (((1,), (0,)), ((), ())), preferred_element_type=widths.dtype
-    )
-    cumy_in = bottom + jax.lax.dot_general(
-        heights, tri, (((1,), (0,)), ((), ())), preferred_element_type=heights.dtype
-    )
-    derivs = min_derivative + jax.nn.softplus(s_raw + shift)  # (rows, K+1)
+    widths = softmax_scale(w, min_bin_width, right - left)
+    heights = softmax_scale(h, min_bin_height, top - bottom)
+    derivs = [min_derivative + jax.nn.softplus(sk + shift) for sk in s]
 
+    # cumulative left edges per bin (unrolled prefix sums)
+    cumx = [jnp.full_like(widths[0], left)]
+    cumy = [jnp.full_like(heights[0], bottom)]
+    for k in range(K - 1):
+        cumx.append(cumx[-1] + widths[k])
+        cumy.append(cumy[-1] + heights[k])
+
+    x = x_ref[:, :]
     x = jnp.clip(x, bottom if inverse else left, top if inverse else right)
 
-    # branchless bin search: count interior edges <= x (exclude the last edge)
-    edges = cumy_in if inverse else cumx_in
-    lane = jax.lax.broadcasted_iota(jnp.int32, edges.shape, 1)
-    interior = lane < num_bins - 1
-    idx = jnp.sum(
-        jnp.where(interior & (x[:, None] >= edges), 1, 0), axis=-1
-    )  # (rows,) in [0, K-1]
+    # branchless bin index: count interior left edges <= x
+    edges = cumy if inverse else cumx
+    idx = jnp.zeros(x.shape, dtype=jnp.int32)
+    for k in range(1, K):
+        idx = idx + jnp.where(x >= edges[k], 1, 0)
 
-    onehot = lane == idx[:, None]  # (rows, K) one-hot over bins
+    def pick(slabs):
+        acc = slabs[0]
+        for k in range(1, len(slabs)):
+            acc = jnp.where(idx == k, slabs[k], acc)
+        return acc
 
-    def pick(vals):
-        return jnp.sum(jnp.where(onehot, vals, 0.0), axis=-1)
-
-    # knot quantities of the selected bin (left edges = cum - size)
-    xk = pick(cumx_in - widths)
-    yk = pick(cumy_in - heights)
+    xk = pick(cumx)
+    yk = pick(cumy)
     wk = pick(widths)
     hk = pick(heights)
     dk = hk / wk
-    sk = pick(derivs[:, :num_bins])
-    lane1 = jax.lax.broadcasted_iota(jnp.int32, derivs.shape, 1)
-    onehot1 = lane1 == (idx + 1)[:, None]
-    sk1 = jnp.sum(jnp.where(onehot1, derivs, 0.0), axis=-1)
+    sk = pick(derivs[:K])
+    sk1 = pick([derivs[k + 1] for k in range(K)])
     s_sum = sk + sk1 - 2.0 * dk
 
     if inverse:
@@ -123,8 +123,8 @@ def _rqs_kernel(
     if inverse:
         ldj = -ldj
 
-    y_ref[:, 0] = y
-    ldj_ref[:, 0] = ldj
+    y_ref[:, :] = y
+    ldj_ref[:, :] = ldj
 
 
 @functools.partial(
@@ -149,58 +149,62 @@ def rq_spline_pallas(
     min_bin_height: float = DEFAULT_MIN_BIN_HEIGHT,
     min_derivative: float = DEFAULT_MIN_DERIVATIVE,
     identity_init: bool = True,
-    block_rows: int = 1024,
-    interpret: bool = False,
+    block_rows: int = 64,
+    interpret=None,
 ):
     """Drop-in fused replacement for ``ops.rqs.rq_spline``.
 
     ``x``: (..., D); params (..., D, K)/(..., D, K)/(..., D, K+1).
     Returns (y, elementwise ldj), both shaped like ``x``.
     """
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
     batch_shape = x.shape
     num_bins = unnormalized_widths.shape[-1]
     n = int(np.prod(batch_shape))
-    xf = x.reshape(n, 1)
-    wf = unnormalized_widths.reshape(n, num_bins)
-    hf = unnormalized_heights.reshape(n, num_bins)
-    sf = unnormalized_derivatives.reshape(n, num_bins + 1)
 
-    # pad rows to a multiple of the block
-    n_pad = (-n) % block_rows
+    chunk = block_rows * _LANES
+    n_pad = (-n) % chunk
+    n_rows = (n + n_pad) // _LANES
+
+    def to_slabs(arr, k_dim):
+        # (..., D, k) -> (k, n_rows, 128), zero-padded along elements
+        flat = arr.reshape(n, k_dim)
+        if n_pad:
+            flat = jnp.pad(flat, ((0, n_pad), (0, 0)))
+        return jnp.transpose(flat, (1, 0)).reshape(k_dim, n_rows, _LANES)
+
+    xf = x.reshape(n)
     if n_pad:
-        xf = jnp.pad(xf, ((0, n_pad), (0, 0)), constant_values=0.5 * (left + right))
-        wf = jnp.pad(wf, ((0, n_pad), (0, 0)))
-        hf = jnp.pad(hf, ((0, n_pad), (0, 0)))
-        sf = jnp.pad(sf, ((0, n_pad), (0, 0)))
-    n_rows = n + n_pad
+        xf = jnp.pad(xf, (0, n_pad), constant_values=0.5 * (left + right))
+    xf = xf.reshape(n_rows, _LANES)
+    wf = to_slabs(unnormalized_widths, num_bins)
+    hf = to_slabs(unnormalized_heights, num_bins)
+    sf = to_slabs(unnormalized_derivatives, num_bins + 1)
 
     shift = float(np.log(np.expm1(1.0 - min_derivative))) if identity_init else 0.0
     kernel = functools.partial(
         _rqs_kernel,
-        inverse=inverse,
-        left=left,
-        right=right,
-        bottom=bottom,
-        top=top,
-        min_bin_width=min_bin_width,
-        min_bin_height=min_bin_height,
-        min_derivative=min_derivative,
-        shift=shift,
-        num_bins=num_bins,
+        inverse=inverse, left=left, right=right, bottom=bottom, top=top,
+        min_bin_width=min_bin_width, min_bin_height=min_bin_height,
+        min_derivative=min_derivative, shift=shift, num_bins=num_bins,
     )
     grid = (n_rows // block_rows,)
-    row_spec = lambda width: pl.BlockSpec(
-        (block_rows, width), lambda i: (i, 0), memory_space=pltpu.VMEM
+    elem_spec = pl.BlockSpec((block_rows, _LANES), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    slab_spec = lambda k: pl.BlockSpec(
+        (k, block_rows, _LANES), lambda i: (0, i, 0), memory_space=pltpu.VMEM
     )
     y, ldj = pl.pallas_call(
         kernel,
         grid=grid,
-        in_specs=[row_spec(1), row_spec(num_bins), row_spec(num_bins), row_spec(num_bins + 1)],
-        out_specs=(row_spec(1), row_spec(1)),
+        in_specs=[elem_spec, slab_spec(num_bins), slab_spec(num_bins), slab_spec(num_bins + 1)],
+        out_specs=(elem_spec, elem_spec),
         out_shape=(
-            jax.ShapeDtypeStruct((n_rows, 1), x.dtype),
-            jax.ShapeDtypeStruct((n_rows, 1), x.dtype),
+            jax.ShapeDtypeStruct((n_rows, _LANES), x.dtype),
+            jax.ShapeDtypeStruct((n_rows, _LANES), x.dtype),
         ),
         interpret=interpret,
     )(xf, wf, hf, sf)
-    return y[:n, 0].reshape(batch_shape), ldj[:n, 0].reshape(batch_shape)
+    y = y.reshape(-1)[:n].reshape(batch_shape)
+    ldj = ldj.reshape(-1)[:n].reshape(batch_shape)
+    return y, ldj
