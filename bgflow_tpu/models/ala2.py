@@ -39,9 +39,20 @@ def generate_ala2_data(
     timestep: float = 5e-4,
     friction: float = 5.0,
     temperature: float = 300.0,
+    align: bool = True,
     dtype=jnp.float32,
 ):
-    """On-device BAOAB MD trajectory of ala2, thinned into a training set."""
+    """On-device BAOAB MD trajectory of ala2, thinned into a training set.
+
+    With ``align`` (default), every frame is Kabsch-superposed onto the
+    reference geometry using the rigid-block atoms — the whitened fixed-atom
+    channel then carries only internal fluctuations, which is what the PCA
+    Gaussian can actually model (unaligned data mixes global pose into the
+    whitening and Gaussian samples leave the rotation manifold, producing
+    clashing reconstructions).
+    """
+    from ..ops.geometry import kabsch_align
+
     ff = build_ala2_forcefield(temperature=temperature)
     x0 = jnp.asarray(ALA2_REFERENCE_XYZ, dtype=dtype).reshape(1, -1).repeat(n_chains, 0)
     key_eq, key_prod = jax.random.split(key)
@@ -49,7 +60,14 @@ def generate_ala2_data(
     n_prod = max(1, n_samples // n_chains)
     thin = 10
     xs = baoab_run(ff, xs[-1], key_prod, n_steps=n_prod * thin, timestep=timestep, friction=friction, thin=thin)
-    return xs.reshape(-1, 66)[:n_samples]
+    data = xs.reshape(-1, 66)[:n_samples]
+    if align:
+        frames = data.reshape(-1, 22, 3)
+        frames = kabsch_align(
+            frames, jnp.asarray(ALA2_REFERENCE_XYZ, dtype=dtype), atoms=ALA2_FIXED_ATOMS
+        )
+        data = frames.reshape(-1, 66)
+    return data
 
 
 def make_ala2_generator(
@@ -57,9 +75,10 @@ def make_ala2_generator(
     temperature: float = 300.0,
     hidden=(128, 128),
     num_bins: int = 8,
-    keepdims: int = 15,
+    keepdims: int = 9,  # 3*5 - 6: aligned rigid block has only internal dof
     high_energy: float = 1e3,
     max_energy: float = 1e9,
+    fixed_scale: float = 3.0,
     architecture=(
         (TORSIONS, FIXED),
         (FIXED, TORSIONS),
@@ -83,7 +102,11 @@ def make_ala2_generator(
     builder = BoltzmannGeneratorBuilder(shape_info, target=target)
     for what, on in architecture:
         builder.add_condition(what, on=on, hidden=hidden, num_bins=num_bins)
-    marginals = InternalCoordinateMarginals(builder.current_dims)
+    # fixed_scale: std of the whitened-fixed-atom marginal.  The reference
+    # defaults to 20 (very conservative); whitened coordinates are ~N(0,1),
+    # and a tight marginal concentrates the spline's resolution where the
+    # data lives (large scales waste bins and produce clashing geometries).
+    marginals = InternalCoordinateMarginals(builder.current_dims, fixed_scale=fixed_scale)
     marginals.inform_with_data(
         jnp.asarray(data), crd, bond_lower=1e-3, bond_upper=1.0, angle_lower=1e-4
     )

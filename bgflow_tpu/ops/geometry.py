@@ -47,6 +47,33 @@ def compute_distances(
     return jnp.sqrt(d2[:, iu, ju])
 
 
+def kabsch_align(x: jax.Array, reference: jax.Array, atoms=None) -> jax.Array:
+    """Rigidly superpose each frame onto a reference (Kabsch algorithm).
+
+    x: (B, N, 3) frames; reference: (N, 3); ``atoms``: indices used for the
+    fit (default all).  Returns the transformed frames (all atoms moved by
+    the fitted rotation+translation).  Used to remove global pose from MD
+    data before PCA whitening — unaligned data makes the whitened Gaussian
+    mix pose with internal coordinates and Gaussian samples leave the
+    rigid-body manifold.
+    """
+    x = jnp.asarray(x)
+    reference = jnp.asarray(reference)
+    fit_idx = jnp.arange(x.shape[1]) if atoms is None else jnp.asarray(atoms)
+    x_fit = x[:, fit_idx]
+    ref_fit = reference[fit_idx]
+    x_mean = jnp.mean(x_fit, axis=1, keepdims=True)
+    ref_mean = jnp.mean(ref_fit, axis=0, keepdims=True)
+    p = x_fit - x_mean
+    q = ref_fit - ref_mean
+    h = jnp.einsum("bni,nj->bij", p, q)
+    u, _, vt = jnp.linalg.svd(h)
+    d = jnp.sign(jnp.linalg.det(jnp.einsum("bij,bjk->bik", u, vt)))
+    s = jnp.stack([jnp.ones_like(d), jnp.ones_like(d), d], axis=-1)
+    rot = jnp.einsum("bik,bk,bkj->bij", u, s, vt)  # per-frame rotation
+    return jnp.einsum("bni,bij->bnj", x - x_mean, rot) + ref_mean
+
+
 def remove_mean(samples: jax.Array, n_particles: int, n_dimensions: int) -> jax.Array:
     """Project particle positions onto the mean-free (translation-free) subspace."""
     shape = samples.shape
