@@ -18,25 +18,28 @@ from bgflow_tpu.models.ala2 import Ala2Model
 
 def main():
     key = jax.random.PRNGKey(0)
-    print("generating MD data (BAOAB) + building the generator...")
-    model = Ala2Model.create(key, n_data=4096)
+    print("generating MD data (BAOAB, Kabsch-aligned) + building the generator...")
+    model = Ala2Model.create(key, n_data=16384)
     gen, params, data = model.generator, model.params, model.data
     data_sampler = bg.DataSetSampler(data)
 
-    trainer = bg.KLTrainer(gen, optimizer=optax.adam(5e-4))
+    trainer = bg.KLTrainer(gen, optimizer=optax.adam(4e-4))
 
+    # On a TPU chip this trains at ~100-250 steps/s; scale n_iter up
+    # (20k NLL + annealed KL) for production-quality models.
     print("phase 1: NLL training")
     params, opt_state, _ = trainer.train(
-        params, jax.random.PRNGKey(1), n_iter=500, data=data_sampler,
-        batchsize=128, w_likelihood=1.0, w_energy=0.0, progress_interval=100,
+        params, jax.random.PRNGKey(1), n_iter=2000, data=data_sampler,
+        batchsize=512, w_likelihood=1.0, w_energy=0.0, progress_interval=500,
     )
 
-    print("phase 2: mixed NLL/KL training")
-    params, opt_state, _ = trainer.train(
-        params, jax.random.PRNGKey(2), n_iter=500, data=data_sampler,
-        opt_state=opt_state, batchsize=128, w_likelihood=1.0, w_energy=0.1,
-        progress_interval=100,
-    )
+    print("phase 2: mixed NLL/KL training (annealed energy weight)")
+    for w_energy in (0.02, 0.05, 0.1):
+        params, opt_state, _ = trainer.train(
+            params, jax.random.PRNGKey(2), n_iter=700, data=data_sampler,
+            opt_state=opt_state, batchsize=512, w_likelihood=1.0,
+            w_energy=w_energy, progress_interval=700,
+        )
 
     print("evaluation: 10k samples with importance weights")
     out = gen.sample(params, jax.random.PRNGKey(3), 10_000, with_log_weights=True)
