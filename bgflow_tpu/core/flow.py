@@ -126,6 +126,12 @@ class Chain(Flow):
 
     def forward(self, params, xs, inverse: bool = False, key=None, **kwargs):
         xs = as_tuple(xs)
+        if len(params) != len(self.blocks):
+            raise ValueError(
+                f"Chain of {len(self.blocks)} blocks got params of length "
+                f"{len(params)}; use chain.init(key) — passing () would "
+                f"silently apply no blocks."
+            )
         blocks = list(zip(params, self.blocks))
         if inverse:
             blocks = blocks[::-1]

@@ -77,13 +77,14 @@ class ConstrainGaussianFlow(Flow):
             upper_bound=upper_bound,
         )
         self._trafo = DistributionTransferFlow(source, target, eps)
+        self._trafo_params = self._trafo.init(None)
         self.lower_bound = float(lower_bound)
         self.upper_bound = float(upper_bound)
 
     def _forward(self, params, xs, **kwargs):
-        (ys, dlogp) = self._trafo.forward((), xs)
+        (ys, dlogp) = self._trafo.forward(self._trafo_params, xs)
         y = jnp.clip(ys[0], self.lower_bound, self.upper_bound)
         return (y,), dlogp
 
     def _inverse(self, params, xs, **kwargs):
-        return self._trafo.forward((), xs, inverse=True)
+        return self._trafo.forward(self._trafo_params, xs, inverse=True)

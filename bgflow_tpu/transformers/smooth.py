@@ -71,10 +71,6 @@ class SmoothSigmoidTransformer(Transformer):
         log_slope = jnp.tanh(raw[..., 2, :]) * 2.0  # bounded slopes
         mix = raw[..., 3, :]
         logalpha = jnp.tanh(raw[..., 4, :])
-        if self.is_circular:
-            # wrapped mixture uses one component set per sheaf: collapse K
-            # components by averaging params (keep it simple and smooth)
-            pass
         return weights, shift, log_slope, mix, logalpha
 
     def _forward(self, params, x, y, **kwargs):
