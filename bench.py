@@ -75,6 +75,7 @@ def main():
     t1 = time.perf_counter()
 
     sps = n * iters / (t1 - t0)
+    assert bool(jnp.all(jnp.isfinite(x[:1024]))), "bench produced non-finite samples"
     print(json.dumps({
         "metric": "ala2_bg_samples_per_sec",
         "value": round(sps, 1),

@@ -92,10 +92,28 @@ def _affine_out_dims(what, shape_info, transformer_kwargs={}, use_scaling=True, 
     return out_dims
 
 
+def _smooth_out_dims(what, shape_info, transformer_kwargs={}, n_components=4, **kwargs):
+    return {"params_net": 5 * n_components * shape_info.dim_all(what)}
+
+
 CONDITIONER_OUT_DIMS = {
     ConditionalSplineTransformer: _spline_out_dims,
     AffineTransformer: _affine_out_dims,
 }
+
+
+def _register_smooth():
+    from ..transformers.smooth import SmoothSigmoidTransformer
+
+    CONDITIONER_OUT_DIMS[SmoothSigmoidTransformer] = _smooth_out_dims
+
+    def _make_smooth(what, shape_info, conditioners, n_components=4, **kwargs):
+        all_circ = bool(shape_info.is_circular(what).all())
+        return SmoothSigmoidTransformer(
+            **conditioners, n_components=n_components, is_circular=all_circ, **kwargs
+        )
+
+    TRANSFORMER_FACTORIES[SmoothSigmoidTransformer] = _make_smooth
 
 
 def make_conditioners(
@@ -153,6 +171,8 @@ TRANSFORMER_FACTORIES = {
     ConditionalSplineTransformer: _make_spline_transformer,
     AffineTransformer: _make_affine_transformer,
 }
+
+_register_smooth()
 
 
 def make_transformer(transformer_type, what, shape_info, conditioners, **kwargs):

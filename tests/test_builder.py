@@ -148,3 +148,26 @@ def test_zero_params_identity(key):
     # spline with zero params is the identity
     assert_close(ys[0], z[0], 1e-6)
     assert_close(ldj, jnp.zeros(3), 1e-6)
+
+
+def test_builder_with_smooth_transformer(key):
+    from bgflow_tpu.transformers.smooth import SmoothSigmoidTransformer
+
+    info = bg.ShapeDictionary()
+    info[bg.BONDS] = (4,)
+    info[bg.TORSIONS] = (6,)
+    builder = bg.BoltzmannGeneratorBuilder(info)
+    builder.add_condition(
+        bg.BONDS, on=bg.TORSIONS,
+        transformer_type=SmoothSigmoidTransformer,
+        transformer_kwargs=dict(n_components=4),
+        n_components=4, hidden=(32,),
+    )
+    gen = builder.build_generator(check_target=False)
+    params = gen.init(key)
+    out = gen.sample(params, key, 9, with_dlogp=True)
+    assert out.xs[0].shape == (9, 4)
+    assert jnp.all((out.xs[0] >= 0) & (out.xs[0] <= 1))
+    zs, neg_dlogp = gen.flow.forward(params, out.xs, inverse=True)
+    xs2, dlogp = gen.flow.forward(params, zs)
+    assert_close(out.xs[0], xs2[0], 1e-4)
