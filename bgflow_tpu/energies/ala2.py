@@ -152,8 +152,17 @@ def _lookup_torsion(types):
     raise KeyError(f"no torsion parameters for {types}")
 
 
-def build_ala2_forcefield(temperature: float = 300.0, two_event_dims: bool = False) -> ClassicalForceField:
-    """Assemble the vacuum ala2 force field (22 atoms, amber-99SB-style)."""
+def build_ala2_forcefield(
+    temperature: float = 300.0,
+    two_event_dims: bool = False,
+    implicit_solvent: bool = False,
+) -> ClassicalForceField:
+    """Assemble the ala2 force field (22 atoms, amber-99SB-style).
+
+    ``implicit_solvent`` adds the OBC II GBSA terms (the reference's ala2
+    notebooks run OpenMM with implicit solvent; vacuum remains the default
+    to keep existing benchmarks comparable).
+    """
     types = [t for _, t, _ in ALA2_ATOMS]
     charges = np.array([q for _, _, q in ALA2_ATOMS])
     n = len(types)
@@ -220,8 +229,13 @@ def build_ala2_forcefield(temperature: float = 300.0, two_event_dims: bool = Fal
         charges=charges, sigma=sigma, epsilon=epsilon,
         scale_lj=scale_lj, scale_coulomb=scale_coul,
     )
+    gbsa = None
+    if implicit_solvent:
+        from .gbsa import ala2_gbsa_terms
+
+        gbsa = ala2_gbsa_terms()
     return ClassicalForceField(
-        n_atoms=n, bonded=bonded, nonbonded=nonbonded,
+        n_atoms=n, bonded=bonded, nonbonded=nonbonded, gbsa=gbsa,
         temperature=temperature, two_event_dims=two_event_dims,
     )
 

@@ -66,6 +66,7 @@ class ClassicalForceField(Energy):
         n_atoms: int,
         bonded: BondedTerms,
         nonbonded: Optional[NonbondedTerms] = None,
+        gbsa=None,
         temperature: float = 300.0,
         two_event_dims: bool = False,
         eps: float = 1e-7,
@@ -79,6 +80,8 @@ class ClassicalForceField(Energy):
         self.nonbonded = (
             None if nonbonded is None else NonbondedTerms(*(jnp.asarray(a) for a in nonbonded))
         )
+        # optional GBSA implicit-solvent terms (energies/gbsa.py::GBSATerms)
+        self.gbsa = gbsa
         self.temperature = float(temperature)
         self.kt = KB_KJ_PER_MOL_K * self.temperature
         self.eps = eps
@@ -137,6 +140,13 @@ class ClassicalForceField(Energy):
         # each pair appears twice -> half the sum
         return 0.5 * jnp.sum((lj + coul).reshape(x.shape[0], -1), axis=-1)
 
+    def gbsa_energy(self, x):
+        if self.gbsa is None:
+            return jnp.zeros(x.shape[0], dtype=x.dtype)
+        from .gbsa import gbsa_energy
+
+        return gbsa_energy(x, self.gbsa, eps=self.eps)
+
     def potential_energy(self, x):
         """Total potential in kJ/mol; x: (B, N*3) or (B, N, 3) in nm."""
         x = x.reshape(x.shape[0], self.n_atoms, 3)
@@ -145,6 +155,7 @@ class ClassicalForceField(Energy):
             + self.angle_energy(x)
             + self.torsion_energy(x)
             + self.nonbonded_energy(x)
+            + self.gbsa_energy(x)
         )
 
     def _energy(self, x):

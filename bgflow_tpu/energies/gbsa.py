@@ -1,0 +1,121 @@
+"""Generalized-Born (OBC II) implicit solvent + ACE surface-area term.
+
+The reference's alanine-dipeptide setups run OpenMM with implicit solvent;
+this is the in-repo TPU equivalent: Born radii by HCT pairwise descreening
+with the OBC II rescaling, the still-equation polarization energy, and the
+ACE nonpolar surface term — all dense (N, N) batched ops that fuse with the
+vacuum force-field kernel.
+
+Conventions: lengths nm, energies kJ/mol, charges e.  Dielectrics default
+to (1, 78.5).  Formulas follow Onufriev, Bashford & Case (2004) and the
+standard HCT integral; validated in tests against the exact isolated-atom
+Born limit and qualitative burial behavior.
+"""
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from .forcefield import COULOMB_CONSTANT
+
+__all__ = ["GBSATerms", "gbsa_energy", "born_radii", "DEFAULT_GB_RADII"]
+
+# OBC II parameters
+_ALPHA, _BETA, _GAMMA = 1.0, 0.8, 4.85
+_DIELECTRIC_OFFSET = 0.009  # nm
+_PROBE_RADIUS = 0.14  # nm
+_ACE_COEF = 28.3919551  # kJ/mol/nm^2
+
+# mbondi2-style intrinsic radii (nm) and HCT screening factors per element
+DEFAULT_GB_RADII = {
+    "H": (0.12, 0.85),
+    "C": (0.17, 0.72),
+    "N": (0.155, 0.79),
+    "O": (0.15, 0.85),
+    "S": (0.18, 0.96),
+}
+
+
+class GBSATerms(NamedTuple):
+    charges: np.ndarray  # (N,) e
+    radii: np.ndarray  # (N,) intrinsic radii, nm
+    scales: np.ndarray  # (N,) HCT screening factors
+    solute_dielectric: float = 1.0
+    solvent_dielectric: float = 78.5
+
+
+def _hct_integral(r, rho_i, s_rho_j):
+    """HCT descreening contribution of atom j (scaled radius s_rho_j) to
+    atom i (reduced radius rho_i) at distance r.  Branchless piecewise."""
+    # no descreening when j's sphere is completely beyond reach
+    engulfed = rho_i >= r + s_rho_j
+    lower = jnp.maximum(jnp.abs(r - s_rho_j), rho_i)
+    upper = r + s_rho_j
+    inv_l = 1.0 / lower
+    inv_u = 1.0 / upper
+    term = (
+        inv_l
+        - inv_u
+        + 0.25 * (r - (s_rho_j**2) / r) * (inv_u**2 - inv_l**2)
+        + (0.5 / r) * jnp.log(lower / upper)
+    )
+    # if atom i is inside j's scaled sphere (rho_i < s_rho_j - r), add the
+    # buried correction 2 (1/rho_i - 1/L)
+    buried = rho_i < (s_rho_j - r)
+    term = term + jnp.where(buried, 2.0 * (1.0 / rho_i - inv_l), 0.0)
+    return jnp.where(engulfed, 0.0, term)
+
+
+def born_radii(x, terms: GBSATerms, eps: float = 1e-7):
+    """OBC II effective Born radii.  x: (B, N, 3) -> (B, N)."""
+    radii = jnp.asarray(terms.radii)
+    scales = jnp.asarray(terms.scales)
+    rho = radii - _DIELECTRIC_OFFSET  # reduced radii
+    diff = x[:, :, None, :] - x[:, None, :, :]
+    r = jnp.sqrt(jnp.sum(diff * diff, axis=-1) + eps * eps)
+    mask = 1.0 - jnp.eye(x.shape[1])
+    s_rho_j = (scales * rho)[None, None, :]
+    integral = _hct_integral(r, rho[None, :, None], s_rho_j) * mask[None]
+    i_sum = 0.5 * jnp.sum(integral, axis=-1)  # (B, N)
+    psi = i_sum * rho
+    inv_radius = 1.0 / rho - jnp.tanh(_ALPHA * psi - _BETA * psi**2 + _GAMMA * psi**3) / radii
+    return 1.0 / jnp.maximum(inv_radius, eps)
+
+
+def gbsa_energy(x, terms: GBSATerms, eps: float = 1e-7):
+    """GB polarization + ACE surface energy in kJ/mol.  x: (B, N, 3)."""
+    q = jnp.asarray(terms.charges)
+    b = born_radii(x, terms, eps)  # (B, N)
+    diff = x[:, :, None, :] - x[:, None, :, :]
+    r2 = jnp.sum(diff * diff, axis=-1) + eps * eps
+    bb = b[:, :, None] * b[:, None, :]
+    f_gb = jnp.sqrt(r2 + bb * jnp.exp(-r2 / (4.0 * bb)))
+    # the double sum includes i = j (self energy: f_gb -> B_i)
+    f_gb = jnp.where(jnp.eye(x.shape[1], dtype=bool)[None], b[:, :, None], f_gb)
+    pref = -0.5 * COULOMB_CONSTANT * (
+        1.0 / terms.solute_dielectric - 1.0 / terms.solvent_dielectric
+    )
+    e_pol = pref * jnp.sum(q[None, :, None] * q[None, None, :] / f_gb, axis=(1, 2))
+    # ACE nonpolar term
+    radii = jnp.asarray(terms.radii)
+    sa = _ACE_COEF * (radii + _PROBE_RADIUS) ** 2 * (radii / b) ** 6
+    return e_pol + jnp.sum(sa, axis=-1)
+
+
+def ala2_gbsa_terms() -> GBSATerms:
+    """GBSA parameters for the 22-atom ala2 system (element-based mbondi2)."""
+    from .ala2 import ALA2_ATOMS
+
+    radii, scales, charges = [], [], []
+    for name, _, q in ALA2_ATOMS:
+        element = name[0] if name[0] != "H" else "H"
+        r, s = DEFAULT_GB_RADII[element]
+        radii.append(r)
+        scales.append(s)
+        charges.append(q)
+    return GBSATerms(
+        charges=np.asarray(charges), radii=np.asarray(radii), scales=np.asarray(scales)
+    )

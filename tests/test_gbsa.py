@@ -1,0 +1,100 @@
+"""GBSA/OBC implicit solvent: Born-radius limits, burial, solvation physics."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from bgflow_tpu.energies.forcefield import COULOMB_CONSTANT
+from bgflow_tpu.energies.gbsa import (
+    GBSATerms,
+    _DIELECTRIC_OFFSET,
+    born_radii,
+    gbsa_energy,
+)
+from bgflow_tpu.energies.ala2 import build_ala2_forcefield, ALA2_REFERENCE_XYZ
+from tests.conftest import assert_close
+
+
+def _single_ion(q=1.0, radius=0.15):
+    return GBSATerms(
+        charges=np.array([q]), radii=np.array([radius]), scales=np.array([0.8])
+    )
+
+
+def test_isolated_atom_born_radius():
+    terms = _single_ion()
+    x = jnp.zeros((1, 1, 3))
+    b = born_radii(x, terms)
+    # no neighbors -> Born radius equals the reduced intrinsic radius
+    assert_close(b[0, 0], 0.15 - _DIELECTRIC_OFFSET, 1e-6)
+
+
+def test_isolated_ion_born_energy():
+    """Self energy matches the exact Born formula for an isolated ion."""
+    q, radius = 1.0, 0.15
+    terms = _single_ion(q, radius)
+    x = jnp.zeros((1, 1, 3))
+    b = float(born_radii(x, terms)[0, 0])
+    expected_pol = -0.5 * COULOMB_CONSTANT * (1.0 - 1.0 / 78.5) * q**2 / b
+    e = float(gbsa_energy(x, terms)[0])
+    # subtract the ACE surface term to isolate the polarization part
+    sa = 28.3919551 * (radius + 0.14) ** 2 * (radius / b) ** 6
+    assert_close(e - sa, expected_pol, 1e-4)
+
+
+def test_burial_increases_born_radius():
+    """Surrounding an atom with neighbors descreen it -> larger Born radius."""
+    terms = GBSATerms(
+        charges=np.zeros(7),
+        radii=np.full(7, 0.15),
+        scales=np.full(7, 0.8),
+    )
+    # central atom alone vs surrounded by an octahedron of neighbors
+    center = jnp.zeros((1, 7, 3)).at[0, 1:, :].set(100.0)  # neighbors far away
+    b_free = born_radii(center, terms)[0, 0]
+    def octa(d):
+        return jnp.asarray([
+            [0, 0, 0], [d, 0, 0], [-d, 0, 0], [0, d, 0],
+            [0, -d, 0], [0, 0, d], [0, 0, -d],
+        ])[None]
+
+    b_03 = born_radii(octa(0.3), terms)[0, 0]
+    b_02 = born_radii(octa(0.2), terms)[0, 0]
+    assert float(b_03) > float(b_free) * 1.02
+    # closer neighbors bury more
+    assert float(b_02) > float(b_03)
+
+
+def test_opposite_charges_screened_in_solvent():
+    """GB reduces the attraction of an ion pair (solvent screening):
+    the polarization energy of a +/- pair is positive (destabilizes the
+    vacuum Coulomb attraction) and decays with distance."""
+    terms = GBSATerms(
+        charges=np.array([1.0, -1.0]), radii=np.full(2, 0.15), scales=np.full(2, 0.8)
+    )
+    def pol(r):
+        x = jnp.asarray([[[0, 0, 0], [r, 0, 0]]], dtype=jnp.float64)
+        return float(gbsa_energy(x, terms)[0])
+    # cross term: -0.5 k (1 - 1/78.5) * 2 q1 q2 / f_gb > 0 for opposite signs
+    e_near, e_far = pol(0.3), pol(3.0)
+    self_e = pol(1000.0)
+    assert e_near - self_e > 0
+    assert e_near - self_e > e_far - self_e
+
+
+def test_ala2_with_implicit_solvent(key):
+    ff_vac = build_ala2_forcefield()
+    ff_gb = build_ala2_forcefield(implicit_solvent=True)
+    x = jnp.asarray(ALA2_REFERENCE_XYZ, dtype=jnp.float64).reshape(1, -1)
+    u_vac = float(ff_vac.energy(x)[0])
+    u_gb = float(ff_gb.energy(x)[0])
+    # solvation stabilizes the polar peptide: GB polarization is negative
+    assert u_gb < u_vac
+    assert jnp.isfinite(u_gb)
+    # forces remain finite with the GB term
+    f = ff_gb.force_kj(x)
+    assert jnp.all(jnp.isfinite(f))
+    # batch consistency
+    xs = x + 0.005 * jax.random.normal(key, (8, 66))
+    u = ff_gb.energy(xs)
+    assert u.shape == (8,) and jnp.all(jnp.isfinite(u))
