@@ -49,7 +49,12 @@ from .flows.ic import (
     ReferenceSystemTransformation,
     WhitenFlow,
 )
-from .flows.cdf import CDFTransform, DistributionTransferFlow, ConstrainGaussianFlow
+from .flows.cdf import (
+    CDFTransform,
+    DistributionTransferFlow,
+    ConstrainGaussianFlow,
+    LearnableTruncatedCDFFlow,
+)
 from .flows.modulo import IncreaseMultiplicityFlow, CircularShiftFlow
 from .flows.elementwise import ConstantAffineFlow, BentIdentity
 from .distributions.normal import DiagonalNormal

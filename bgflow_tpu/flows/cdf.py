@@ -42,6 +42,54 @@ class CDFTransform(Flow):
         return (y,), jnp.sum(logdet.reshape(logdet.shape[0], -1), axis=-1)
 
 
+class LearnableTruncatedCDFFlow(Flow):
+    """Trainable truncated-normal inverse-CDF layer: u in [0,1] -> x in
+    [lower, upper] with learnable per-dim (mu, log_sigma).
+
+    The functional counterpart of the reference's learnable
+    ``TruncatedNormalDistribution(is_learnable=True)`` (``normal.py:138-143``):
+    instead of trainable prior parameters, the marginal becomes a trainable
+    first flow layer — same model family, parameters live in the flow pytree
+    like everything else.
+    """
+
+    def __init__(self, mu_init, sigma_init=1.0, lower_bound: float = 0.0,
+                 upper_bound: float = 1.0, eps: float = 1e-7):
+        self.mu_init = jnp.atleast_1d(jnp.asarray(mu_init, dtype=jnp.result_type(float)))
+        self.sigma_init = jnp.broadcast_to(
+            jnp.asarray(sigma_init, dtype=self.mu_init.dtype), self.mu_init.shape
+        )
+        self.lower_bound = float(lower_bound)
+        self.upper_bound = float(upper_bound)
+        self.eps = eps
+
+    def init(self, key=None):
+        return {"mu": self.mu_init, "log_sigma": jnp.log(self.sigma_init)}
+
+    def _dist(self, params):
+        return TruncatedNormalDistribution(
+            mu=params["mu"],
+            sigma=jnp.exp(params["log_sigma"]),
+            lower_bound=self.lower_bound,
+            upper_bound=self.upper_bound,
+        )
+
+    def _forward(self, params, xs, **kwargs):
+        (u,) = xs
+        dist = self._dist(params)
+        u = jnp.clip(u, self.eps, 1.0 - self.eps)
+        x = dist.icdf(u)
+        logdet = -jnp.maximum(dist.log_prob(x), -1.0 / self.eps)
+        return (x,), jnp.sum(logdet.reshape(logdet.shape[0], -1), axis=-1)
+
+    def _inverse(self, params, xs, **kwargs):
+        (x,) = xs
+        dist = self._dist(params)
+        u = jnp.clip(dist.cdf(x), self.eps, 1.0 - self.eps)
+        logdet = jnp.maximum(dist.log_prob(x), -1.0 / self.eps)
+        return (u,), jnp.sum(logdet.reshape(logdet.shape[0], -1), axis=-1)
+
+
 class DistributionTransferFlow(Chain):
     """source-sample -> uniform -> target-sample.  Reference ``cdf.py:49-63``."""
 

@@ -115,3 +115,35 @@ def test_linlogcut_energy_in_bg(key):
     assert float(capped.energy(x)[0]) < 150.0
     g = jax.grad(lambda xx: capped.energy(xx).sum())(x)
     assert jnp.all(jnp.isfinite(g))
+
+
+def test_learnable_truncated_cdf_flow_trains(key):
+    """The learnable marginal layer adapts its mu/sigma by NLL training."""
+    import optax
+
+    flow = bg.LearnableTruncatedCDFFlow(mu_init=jnp.full(2, 0.5), sigma_init=0.5)
+    prior = bg.UniformDistribution(low=jnp.zeros(2), high=jnp.ones(2))
+    gen = bg.BoltzmannGenerator(prior, flow, target=None)
+    params = gen.init(key)
+    # data concentrated at 0.7 with narrow spread
+    data = jnp.clip(0.7 + 0.05 * jax.random.normal(key, (4096, 2)), 0.01, 0.99)
+
+    def nll(p):
+        return jnp.mean(gen.energy(p, data))
+
+    opt = optax.adam(5e-2)
+    state = opt.init(params)
+    l0 = float(nll(params))
+    for _ in range(200):
+        g = jax.grad(nll)(params)
+        updates, state = opt.update(g, state, params)
+        params = optax.apply_updates(params, updates)
+    assert float(nll(params)) < l0 - 0.5
+    assert abs(float(params["mu"][0]) - 0.7) < 0.05
+    assert float(jnp.exp(params["log_sigma"][0])) < 0.15
+    # still a valid bijection after training
+    u = jax.random.uniform(jax.random.PRNGKey(1), (16, 2), minval=0.02, maxval=0.98)
+    (x,), ldj = flow.forward(params, (u,))
+    (u2,), ldj_inv = flow.forward(params, (x,), inverse=True)
+    assert_close(u, u2, 1e-4)
+    assert_close(ldj, -ldj_inv, 1e-3)
