@@ -158,3 +158,30 @@ def test_gradient_clipped_energy(key):
     g = jax.grad(lambda xx: clipped.energy(xx).sum())(x)
     norms = jnp.linalg.norm(g.reshape(4, -1), axis=-1)
     assert jnp.all(norms <= 0.1 + 1e-6)
+
+
+def test_circular_normal_distribution(key):
+    d = bg.CircularNormalDistribution(mu=jnp.array([0.3]), sigma=0.05)
+    s = d.sample(key, 50_000)
+    assert s.shape == (50_000, 1)
+    assert jnp.all((s >= 0) & (s <= 1))
+    # concentrated around mu with circular std ~ sigma
+    assert abs(float(s.mean()) - 0.3) < 0.01
+    assert abs(float(s.std()) - 0.05) < 0.01
+    # energy is a normalized negative log density: check ratio against the
+    # analytic von Mises density at two points
+    x1 = jnp.array([[0.3]])
+    x2 = jnp.array([[0.4]])
+    de = float(d.energy(x2)[0] - d.energy(x1)[0])
+    kappa = float((2 * jnp.pi * 0.05) ** (-2))
+    expected = kappa * (1.0 - jnp.cos(2 * jnp.pi * 0.1))
+    assert abs(de - float(expected)) < 1e-3
+
+
+def test_von_mises_low_concentration_is_uniformish(key):
+    from bgflow_tpu.distributions.normal import sample_von_mises
+    theta = sample_von_mises(key, 0.0, 0.01, (100_000,))
+    # nearly uniform on [-pi, pi]
+    import numpy as np
+    hist, _ = np.histogram(np.asarray(theta), bins=8, range=(-np.pi, np.pi))
+    assert hist.min() > 10_000
