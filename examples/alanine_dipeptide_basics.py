@@ -8,6 +8,11 @@ MD, energies, flow — runs on the accelerator.
 
     python examples/alanine_dipeptide_basics.py
 """
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))  # run without installing
+
 import jax
 import jax.numpy as jnp
 import optax

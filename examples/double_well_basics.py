@@ -6,6 +6,11 @@ sampling.  Runs in ~1 minute on CPU, seconds on a TPU chip.
 
     python examples/double_well_basics.py
 """
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))  # run without installing
+
 import jax
 import jax.numpy as jnp
 import optax
