@@ -79,6 +79,7 @@ def make_ala2_generator(
     high_energy: float = 1e3,
     max_energy: float = 1e9,
     fixed_scale: float = 3.0,
+    use_pallas_spline: bool = False,
     architecture=(
         (TORSIONS, FIXED),
         (FIXED, TORSIONS),
@@ -100,8 +101,11 @@ def make_ala2_generator(
     )
     shape_info = ShapeDictionary.from_coordinate_transform(crd)
     builder = BoltzmannGeneratorBuilder(shape_info, target=target)
+    tkw = dict(use_pallas=True) if use_pallas_spline else dict()
     for what, on in architecture:
-        builder.add_condition(what, on=on, hidden=hidden, num_bins=num_bins)
+        builder.add_condition(
+            what, on=on, hidden=hidden, num_bins=num_bins, transformer_kwargs=tkw
+        )
     # fixed_scale: std of the whitened-fixed-atom marginal.  The reference
     # defaults to 20 (very conservative); whitened coordinates are ~N(0,1),
     # and a tight marginal concentrates the spline's resolution where the
