@@ -118,3 +118,35 @@ def test_bg_energy_gradient_zero_at_optimum(key):
     for leaf in jax.tree_util.tree_leaves(grads):
         # gradient of the last-layer weights vanishes stochastically ~ 1/sqrt(n)
         assert jnp.max(jnp.abs(leaf)) < 2e-2
+
+
+def test_bg_temperature_scaling_consistency():
+    """Sampling the BG at temperature T: for an exact linear flow between
+    Gaussians the output std scales by sqrt(T) and log-weights stay
+    constant (the exact-transport property is temperature-covariant)."""
+    key = jax.random.PRNGKey(0)
+    dim = 3
+    sigma = 1.7
+    prior = bg.NormalDistribution(dim)
+    target = bg.NormalDistribution(dim, cov=sigma**2 * jnp.eye(dim))
+    flow = bg.Lambda(
+        fn=lambda z: (sigma * z, jnp.full(z.shape[:1], dim * jnp.log(sigma))),
+        ifn=lambda x: (x / sigma, jnp.full(x.shape[:1], -dim * jnp.log(sigma))),
+    )
+    gen = bg.BoltzmannGenerator(prior, flow, target)
+    for T in (0.5, 1.0, 4.0):
+        out = gen.sample((), key, 50_000, temperature=T, with_log_weights=True)
+        expected_std = sigma * (T ** 0.5)
+        assert abs(float(out.x.std()) - expected_std) < 0.02 * expected_std
+        assert float(jnp.std(out.log_weights)) < 1e-4
+
+
+def test_bg_nll_temperature():
+    """NLL at temperature T equals the T-scaled prior energy for the
+    identity flow."""
+    key = jax.random.PRNGKey(1)
+    prior = bg.NormalDistribution(2)
+    gen = bg.BoltzmannGenerator(prior, bg.Identity(), bg.NormalDistribution(2))
+    x = prior.sample(key, 64)
+    for T in (0.5, 2.0):
+        assert_close(gen.energy((), x, temperature=T), prior.energy(x, temperature=T), 1e-6)
