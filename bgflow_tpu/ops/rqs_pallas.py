@@ -25,9 +25,9 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .rqs import DEFAULT_MIN_BIN_HEIGHT, DEFAULT_MIN_BIN_WIDTH, DEFAULT_MIN_DERIVATIVE
+from .rqs import DEFAULT_MIN_BIN_HEIGHT, DEFAULT_MIN_BIN_WIDTH, DEFAULT_MIN_DERIVATIVE, rq_spline
 
-__all__ = ["rq_spline_pallas"]
+__all__ = ["rq_spline_pallas", "rq_spline_pallas_ad"]
 
 _LANES = 128
 
@@ -208,3 +208,56 @@ def rq_spline_pallas(
     y = y.reshape(-1)[:n].reshape(batch_shape)
     ldj = ldj.reshape(-1)[:n].reshape(batch_shape)
     return y, ldj
+
+
+# ------------------------------------------------- differentiable wrapper --
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _rqs_pallas_core(config, x, w, h, s):
+    kwargs = dict(config)
+    return rq_spline_pallas(x, w, h, s, **kwargs)
+
+
+def _rqs_pallas_fwd(config, x, w, h, s):
+    return _rqs_pallas_core(config, x, w, h, s), (x, w, h, s)
+
+
+def _rqs_pallas_bwd(config, residuals, cotangents):
+    # the XLA implementation computes identical values (tests pin agreement
+    # to ~1e-6), so its VJP is the exact gradient of the Pallas forward;
+    # training batches are small, so the recompute is cheap
+    x, w, h, s = residuals
+    kwargs = {k: v for k, v in dict(config).items() if k not in ("block_rows", "interpret")}
+    _, vjp = jax.vjp(lambda *a: rq_spline(*a, **kwargs), x, w, h, s)
+    return vjp(cotangents)
+
+
+_rqs_pallas_core.defvjp(_rqs_pallas_fwd, _rqs_pallas_bwd)
+
+
+def rq_spline_pallas_ad(
+    x,
+    unnormalized_widths,
+    unnormalized_heights,
+    unnormalized_derivatives,
+    inverse: bool = False,
+    left: float = 0.0,
+    right: float = 1.0,
+    bottom: float = 0.0,
+    top: float = 1.0,
+    min_bin_width: float = DEFAULT_MIN_BIN_WIDTH,
+    min_bin_height: float = DEFAULT_MIN_BIN_HEIGHT,
+    min_derivative: float = DEFAULT_MIN_DERIVATIVE,
+    identity_init: bool = True,
+):
+    """Differentiable fused spline: Pallas forward, XLA-vjp backward."""
+    config = (
+        ("inverse", inverse), ("left", left), ("right", right),
+        ("bottom", bottom), ("top", top),
+        ("min_bin_width", min_bin_width), ("min_bin_height", min_bin_height),
+        ("min_derivative", min_derivative), ("identity_init", identity_init),
+    )
+    return _rqs_pallas_core(
+        config, x, unnormalized_widths, unnormalized_heights, unnormalized_derivatives
+    )

@@ -83,7 +83,7 @@ class ConditionalSplineTransformer(Transformer):
     def _apply(self, params, x, y, spline_inverse: bool):
         w, h, slopes = self._compute_params(params, x, y.shape[-1])
         if self.use_pallas:
-            from ..ops.rqs_pallas import rq_spline_pallas as _rqs
+            from ..ops.rqs_pallas import rq_spline_pallas_ad as _rqs
         else:
             _rqs = rq_spline
         z, ldj = _rqs(

@@ -51,3 +51,25 @@ def test_pallas_padding_path(key):
     y_pal, ldj_pal = rq_spline_pallas(x, w, h, s, block_rows=16, interpret=True)
     assert_close(y_pal, y_ref, 1e-5)
     assert_close(ldj_pal, ldj_ref, 1e-4)
+
+
+def test_pallas_ad_gradients_match_xla(key):
+    """The differentiable wrapper (Pallas fwd, XLA-vjp bwd) gives the same
+    gradients as the pure XLA path."""
+    from bgflow_tpu.ops.rqs_pallas import rq_spline_pallas_ad
+
+    B, D, K = 16, 3, 8
+    kk = jax.random.split(key, 4)
+    x = jax.random.uniform(kk[0], (B, D), dtype=jnp.float32, minval=0.05, maxval=0.95)
+    w = jax.random.normal(kk[1], (B, D, K), dtype=jnp.float32)
+    h = jax.random.normal(kk[2], (B, D, K), dtype=jnp.float32)
+    s = jax.random.normal(kk[3], (B, D, K + 1), dtype=jnp.float32)
+
+    def loss(fn, w, h, s, x):
+        y, ldj = fn(x, w, h, s)
+        return jnp.sum(y**2) + jnp.sum(ldj)
+
+    g1 = jax.grad(lambda *a: loss(rq_spline_pallas_ad, *a), argnums=(0, 1, 2, 3))(w, h, s, x)
+    g2 = jax.grad(lambda *a: loss(rq_spline, *a), argnums=(0, 1, 2, 3))(w, h, s, x)
+    for a, b in zip(g1, g2):
+        assert_close(a, b, 1e-4)
