@@ -1,18 +1,24 @@
 """Benchmark: TPU samples/s on the flagship alanine-dipeptide generator.
 
-Workload (BASELINE.md anchor 2): the full molecular sampling path — uniform
-prior -> 4 affine coupling blocks (128x128 conditioners, shift-only circular
-torsions) -> inverse-CDF maps onto IC domains -> whitened-fixed-atom +
-z-matrix NeRF reconstruction to Cartesian xyz.  Identical architecture
-measured on the reference (bgflow @ /root/reference, torch CPU 8 threads,
-batch 8192, same synthetic data seed):
+Workload (BASELINE.md anchor 2): the FULL flagship molecular sampling path —
+uniform prior -> 6 conditional-spline coupling blocks (128x128 bf16
+conditioners, 8 bins, circular torsion handling) -> inverse-CDF maps onto IC
+domains -> whitened-fixed-atom + z-matrix NeRF reconstruction to Cartesian
+xyz.  This is the same architecture the model-quality work trains
+(``bgflow_tpu/models/ala2.py``), running the fused Pallas RQS kernel through
+the relayout-free slab path and the fused Pallas reconstruction kernel.
 
-    ALA2_SAMPLES_PER_SEC = 43_453      (reference CPU)
-    DW2D RealNVP README config         = 101_860 (reference CPU, batch 64k)
+The baseline constant is the reference (bgflow @ /root/reference, torch CPU
+8 threads, batch 8192) measured on its *affine*-coupling ala2 generator —
+the faster of its two architectures, so ``vs_baseline`` understates the
+speedup (the reference's nflows spline path is slower than its affine one).
 
-Prints one JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line {"metric", "value", "unit", "vs_baseline"}; auxiliary
+metrics (affine-path samples/s, training steps/s) go to BENCH_EXTRA.json
+and stderr.
 """
 import json
+import sys
 import time
 
 import numpy as np
@@ -22,65 +28,125 @@ import jax.numpy as jnp
 import bgflow_tpu as bg
 
 BASELINE_CPU_ALA2_SAMPLES_PER_SEC = 43_453.0
+BASELINE_CPU_TRAIN_STEPS_PER_SEC = 17.9
 
 
-def make_ala2_generator(key, compute_dtype=jnp.bfloat16):
-    from bgflow_tpu.energies.ala2 import ALA2_FIXED_ATOMS, ALA2_Z_MATRIX
-
+def _synthetic_data(n=512):
     rng = np.random.RandomState(0)
     base = np.arange(22)[:, None] * np.array([[0.15, 0.1, 0.12]])
-    data = (base[None] + 0.05 * rng.randn(512, 22, 3)).reshape(512, 66).astype(np.float32)
+    return (base[None] + 0.05 * rng.randn(n, 22, 3)).reshape(n, 66).astype(np.float32)
 
+
+def make_flagship(key, transformer="spline", compute_dtype=jnp.bfloat16):
+    from bgflow_tpu.energies.ala2 import ALA2_FIXED_ATOMS, ALA2_Z_MATRIX
+
+    data = _synthetic_data()
     crd = bg.MixedCoordinateTransformation(
         data, ALA2_Z_MATRIX, ALA2_FIXED_ATOMS, keepdims=15,
         use_pallas=True,  # fused reconstruction kernel (2.9x vs XLA path)
     )
     shape_info = bg.ShapeDictionary.from_coordinate_transform(crd)
     builder = bg.BoltzmannGeneratorBuilder(shape_info)
-    builder.default_transformer_type = bg.AffineTransformer
-    for what, on in [
+    architecture = [
         (bg.TORSIONS, bg.FIXED),
         (bg.FIXED, bg.TORSIONS),
         (bg.BONDS, (bg.ANGLES, bg.TORSIONS)),
         (bg.ANGLES, (bg.BONDS, bg.TORSIONS)),
-    ]:
-        # bf16 conditioner matmuls (f32 accumulate) — the MXU's fast path;
-        # the spline/affine transform math itself stays f32
-        builder.add_condition(what, on=on, hidden=(128, 128), compute_dtype=compute_dtype)
+        (bg.TORSIONS, (bg.BONDS, bg.ANGLES)),
+        (bg.FIXED, (bg.BONDS, bg.ANGLES, bg.TORSIONS)),
+    ]
+    if transformer == "affine":
+        builder.default_transformer_type = bg.AffineTransformer
+        architecture = architecture[:4]
+        for what, on in architecture:
+            builder.add_condition(what, on=on, hidden=(128, 128), compute_dtype=compute_dtype)
+    else:
+        for what, on in architecture:
+            # bf16 conditioner matmuls (f32 accumulate) on the MXU; the
+            # spline itself runs in the fused Pallas kernel via the
+            # slab-direct layout (no HBM relayout of the 3*K*D params)
+            builder.add_condition(
+                what, on=on, hidden=(128, 128), num_bins=8,
+                compute_dtype=compute_dtype,
+                transformer_kwargs=dict(use_pallas=True),
+            )
     builder.add_map_to_ic_domains()
     builder.add_map_to_cartesian(crd)
     gen = builder.build_generator(check_target=False)
     return gen, gen.init(key)
 
 
-def main():
-    key = jax.random.PRNGKey(0)
-    gen, params = make_ala2_generator(key)
-    # large batch amortizes dispatch latency; the whole path (couplings,
-    # inverse CDFs, z-matrix reconstruction) is one fused XLA program
-    n = 4 * 1024 * 1024
-
+def measure_sampling(gen, params, key, n, iters=10):
     @jax.jit
     def sample(params, key):
         return gen.sample(params, key, n).xs[0]
 
     x = sample(params, key)
     jax.block_until_ready(x)
-
-    iters = 10
     t0 = time.perf_counter()
     for i in range(iters):
         x = sample(params, jax.random.fold_in(key, i))
     jax.block_until_ready(x)
     t1 = time.perf_counter()
-
-    sps = n * iters / (t1 - t0)
     assert bool(jnp.all(jnp.isfinite(x[:1024]))), "bench produced non-finite samples"
+    return n * iters / (t1 - t0)
+
+
+def measure_training(key, batch=1024, iters=30):
+    """Mixed NLL/KL training steps/s on the spline flagship (real FF target)."""
+    from bgflow_tpu.models.ala2 import make_ala2_generator
+
+    data = _synthetic_data(2048)
+    gen = make_ala2_generator(data, use_pallas_spline=True, keepdims=15)
+    params = gen.init(key)
+    trainer = bg.KLTrainer(gen)
+    step = trainer.make_train_step(batchsize_likelihood=batch, batchsize_energy=batch)
+    opt_state = trainer.init(params)
+    d = jnp.asarray(data)
+
+    def run(params, opt_state, key, n):
+        for i in range(n):
+            key, kb, ks = jax.random.split(key, 3)
+            idx = jax.random.randint(kb, (batch,), 0, d.shape[0])
+            params, opt_state, m = step(params, opt_state, ks, (d[idx],))
+        jax.block_until_ready(m["loss"])
+        return params, opt_state
+
+    params, opt_state = run(params, opt_state, jax.random.fold_in(key, 0), 3)
+    t0 = time.perf_counter()
+    run(params, opt_state, jax.random.fold_in(key, 1), iters)
+    t1 = time.perf_counter()
+    return iters / (t1 - t0)
+
+
+def main():
+    key = jax.random.PRNGKey(0)
+    extra = {}
+
+    # headline: the real (spline) flagship at throughput-optimal batch
+    gen, params = make_flagship(key, transformer="spline")
+    n = 1024 * 1024
+    spline_sps = measure_sampling(gen, params, key, n)
+    extra["spline_samples_per_sec"] = round(spline_sps, 1)
+
+    # auxiliary: affine path (round-1 headline config) and training rate
+    gen_a, params_a = make_flagship(key, transformer="affine")
+    extra["affine_samples_per_sec"] = round(
+        measure_sampling(gen_a, params_a, key, 4 * n), 1
+    )
+    tps = measure_training(jax.random.PRNGKey(1))
+    extra["train_steps_per_sec"] = round(tps, 2)
+    extra["train_steps_vs_cpu_baseline"] = round(tps / BASELINE_CPU_TRAIN_STEPS_PER_SEC, 2)
+
+    with open("BENCH_EXTRA.json", "w") as fh:
+        json.dump(extra, fh, indent=1)
+    print(json.dumps(extra), file=sys.stderr)
+
     print(json.dumps({
-        "metric": "ala2_bg_samples_per_sec",
-        "value": round(sps, 1),
+        "metric": "ala2_spline_bg_samples_per_sec",
+        "value": round(spline_sps, 1),
         "unit": "samples/s",
-        "vs_baseline": round(sps / BASELINE_CPU_ALA2_SAMPLES_PER_SEC, 2),
+        "vs_baseline": round(spline_sps / BASELINE_CPU_ALA2_SAMPLES_PER_SEC, 2),
     }))
 
 

@@ -45,6 +45,7 @@ def _make_gnn_conditioner(
     gnn_layers=2,
     gnn_out=64,
     r_max=1.0,
+    attention_heads=0,
     **kwargs,
 ):
     """E(3)-invariant GNN on the cartesian conditioner inputs (the
@@ -67,6 +68,7 @@ def _make_gnn_conditioner(
         gnn_out=gnn_out,
         r_max=r_max,
         activation=activation,
+        attention_heads=attention_heads,
     )
 
 
@@ -77,6 +79,8 @@ CONDITIONER_FACTORIES = {
 
 # conditioner types that embed circular inputs themselves (no WrapPeriodic)
 _SELF_WRAPPING_CONDITIONERS = {"GNN"}
+# conditioner types whose trunk is shared across a coupling's heads
+_SHARED_TRUNK_CONDITIONERS = {"GNN"}
 
 
 def _spline_out_dims(what, shape_info, transformer_kwargs={}, num_bins=8, **kwargs):
@@ -136,6 +140,13 @@ def make_conditioners(
     dim_out = dim_out_factory(
         what=what, shape_info=shape_info, transformer_kwargs=transformer_kwargs, **kwargs
     )
+    # expensive conditioners (GNN) build ONE net serving all heads: the
+    # trunk is computed once per coupling and shared — the functional form
+    # of the reference's GNN-output caching (conditioner_factory.py:139-154)
+    shared = conditioner_type in _SHARED_TRUNK_CONDITIONERS and len(dim_out) > 1
+    had_scale = "scale_net" in dim_out
+    if shared:
+        dim_out = {"params_net": sum(dim_out.values())}
     dim_in = shape_info.dim_noncircular(on) + 2 * shape_info.dim_circular(on)
     conditioners = {}
     for name, dim in dim_out.items():
@@ -146,6 +157,8 @@ def make_conditioners(
         ):
             net = WrapPeriodic(net, indices=shape_info.circular_indices(on))
         conditioners[name] = net
+    if shared:
+        conditioners["use_scaling"] = had_scale
     return conditioners
 
 
@@ -163,6 +176,13 @@ def _make_affine_transformer(what, shape_info, conditioners, **kwargs):
     if n_circ not in (0, shape_info.dim_all(what)):
         raise NotImplementedError(
             "Circular affine transformers are not supported for partly circular indices."
+        )
+    if "params_net" in conditioners:
+        return AffineTransformer(
+            params_net=conditioners["params_net"],
+            use_scaling=conditioners.get("use_scaling", True),
+            is_circular=n_circ > 0,
+            **kwargs,
         )
     return AffineTransformer(**conditioners, is_circular=n_circ > 0, **kwargs)
 

@@ -206,11 +206,24 @@ _STEPPERS = {"rk4": _rk4_step, "midpoint": _midpoint_step, "euler": _euler_step}
 
 
 class DiffEqFlow(Flow):
-    """Neural-ODE flow over state (x, logp) with fixed-grid integration.
+    """Neural-ODE flow over state (x, logp).
 
     ``dynamics(params, t, x, key) -> (dx, divergence)``; forward integrates
     t: 0 -> t_max, inverse integrates the time-reversed field.
-    ``use_checkpoints=True`` rematerializes each step in the backward pass.
+
+    Integrators:
+
+    * ``"rk4"`` / ``"midpoint"`` / ``"euler"`` — fixed-grid ``lax.scan``
+      with backprop-through-solver (``use_checkpoints=True`` rematerializes
+      each step in the backward pass: the discretize-then-optimize regime
+      the reference reaches for with ANODE).
+    * ``"dopri5"`` — adaptive RK45 with ``rtol``/``atol`` error control via
+      ``jax.experimental.ode.odeint``; gradients use the continuous adjoint
+      (optimize-then-discretize), the exact analogue of the reference's
+      torchdiffeq ``odeint_adjoint`` path (``diffeq.py:45-96``).  With a
+      stochastic divergence estimator the Hutchinson noise key is held
+      fixed along the whole trajectory (standard FFJORD practice —
+      per-step resampling is incompatible with adaptive stepping).
     """
 
     def __init__(
@@ -220,19 +233,24 @@ class DiffEqFlow(Flow):
         n_time_steps: int = 20,
         t_max: float = 1.0,
         use_checkpoints: bool = False,
+        rtol: float = 1e-5,
+        atol: float = 1e-6,
+        mxstep: int = 10_000,
     ):
         self.dynamics = dynamics
-        self.stepper = _STEPPERS[integrator]
+        self.integrator = integrator
+        self.stepper = None if integrator == "dopri5" else _STEPPERS[integrator]
         self.n_time_steps = n_time_steps
         self.t_max = t_max
         self.use_checkpoints = use_checkpoints
+        self.rtol = float(rtol)
+        self.atol = float(atol)
+        self.mxstep = int(mxstep)
 
     def init(self, key):
         return self.dynamics.init(key)
 
     def _integrate(self, params, x, key, reverse: bool):
-        dt = self.t_max / self.n_time_steps
-
         def field(t, state, key=None):
             x, logp = state
             tt = self.t_max - t if reverse else t
@@ -241,6 +259,25 @@ class DiffEqFlow(Flow):
             # ldj convention: log|det J| of the applied map = + integral of div
             # keep the scan carry dtype even if params are higher precision
             return ((sign * dx).astype(x.dtype), (sign * div).astype(logp.dtype))
+
+        logp0 = jnp.zeros(x.shape[0], dtype=x.dtype)
+
+        if self.integrator == "dopri5":
+            from jax.experimental.ode import odeint
+
+            ts = jnp.asarray([0.0, self.t_max], dtype=x.dtype)
+            out = odeint(
+                lambda state, t: field(t, state, key=key),
+                (x, logp0),
+                ts,
+                rtol=self.rtol,
+                atol=self.atol,
+                mxstep=self.mxstep,
+            )
+            x, dlogp = jax.tree_util.tree_map(lambda a: a[-1], out)
+            return x, dlogp
+
+        dt = self.t_max / self.n_time_steps
 
         def one_step(state, inputs):
             i, step_key = inputs
@@ -251,7 +288,6 @@ class DiffEqFlow(Flow):
         if self.use_checkpoints:
             one_step = jax.checkpoint(one_step)
 
-        logp0 = jnp.zeros(x.shape[0], dtype=x.dtype)
         steps = jnp.arange(self.n_time_steps, dtype=x.dtype)
         keys = (
             jax.random.split(key, self.n_time_steps)

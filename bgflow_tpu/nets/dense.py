@@ -91,23 +91,55 @@ class DenseNet(Net):
             params.append({"w": w, "b": b})
         return params
 
+    def _layer(self, p, x, out_dtype):
+        if self.compute_dtype is not None:
+            return jnp.dot(
+                x.astype(self.compute_dtype),
+                p["w"].astype(self.compute_dtype),
+                preferred_element_type=out_dtype,
+            ) + p["b"]
+        return jnp.dot(x, p["w"], preferred_element_type=x.dtype) + p["b"]
+
     def apply(self, params, x):
         n_layers = len(self.units) - 1
         out_dtype = x.dtype
         for i, p in enumerate(params):
-            if self.compute_dtype is not None:
-                x = jnp.dot(
-                    x.astype(self.compute_dtype),
-                    p["w"].astype(self.compute_dtype),
-                    preferred_element_type=out_dtype,
-                ) + p["b"]
-            else:
-                x = jnp.dot(x, p["w"], preferred_element_type=x.dtype) + p["b"]
+            x = self._layer(p, x, out_dtype)
             if i < n_layers - 1:
                 act = self.activations[i]
                 if act is not None:
                     x = act(x)
         return x
+
+    def apply_transposed(self, params, x):
+        """``apply`` with the output emitted feature-major: (dim_out, B).
+
+        The final matmul contracts via ``dot_general`` with swapped output
+        order, so the MXU writes the transposed layout directly — no HBM
+        transpose.  This is the layout the fused Pallas spline kernel's
+        parameter slabs want (``ops/rqs_pallas.py``); transposing the
+        (B, 3*K*D) conditioner output after the fact costs more HBM traffic
+        than the whole spline evaluation.
+        """
+        out_dtype = x.dtype
+        for i, p in enumerate(params[:-1]):
+            x = self._layer(p, x, out_dtype)
+            act = self.activations[i]
+            if act is not None:
+                x = act(x)
+        p = params[-1]
+        if self.compute_dtype is not None:
+            out = jax.lax.dot_general(
+                p["w"].astype(self.compute_dtype),
+                x.astype(self.compute_dtype),
+                (((0,), (1,)), ((), ())),
+                preferred_element_type=out_dtype,
+            )
+        else:
+            out = jax.lax.dot_general(
+                p["w"], x, (((0,), (1,)), ((), ())), preferred_element_type=x.dtype
+            )
+        return out + p["b"][:, None]
 
 
 class MeanFreeDenseNet(DenseNet):
@@ -147,6 +179,14 @@ class WrapPeriodic(Net):
         arg = 2 * jnp.pi * (y - self.left) / (self.right - self.left)
         x = jnp.concatenate([jnp.cos(arg), jnp.sin(arg), x[..., other]], axis=-1)
         return self.net.apply(params, x)
+
+    def apply_transposed(self, params, x):
+        idx = np.arange(x.shape[-1])[self.indices]
+        other = np.setdiff1d(np.arange(x.shape[-1]), idx)
+        y = x[..., idx]
+        arg = 2 * jnp.pi * (y - self.left) / (self.right - self.left)
+        x = jnp.concatenate([jnp.cos(arg), jnp.sin(arg), x[..., other]], axis=-1)
+        return self.net.apply_transposed(params, x)
 
 
 class WrapDistances(Net):

@@ -43,6 +43,7 @@ class InvariantGNN(Net):
         n_rbf: int = 16,
         r_max: float = 1.0,
         activation=jax.nn.silu,
+        attention_heads: int = 0,
     ):
         self.n_atoms = n_atoms
         self.dim_out = dim_out
@@ -59,21 +60,38 @@ class InvariantGNN(Net):
         self.update_nets = [
             DenseNet([2 * f, f], activation=activation) for _ in range(n_layers)
         ]
+        # optional multi-head self-attention over atom features before the
+        # pooled readout — the reference's optional MHA/Transformer head on
+        # the GNN conditioner (conditioner_factory.py:139-154, GNN_factory)
+        self.attention_heads = int(attention_heads)
+        if self.attention_heads:
+            assert f % self.attention_heads == 0, "n_features must divide into heads"
+            self.attn_qkv = DenseNet([f, 3 * f], activation=None)
+            self.attn_out = DenseNet([f, f], activation=None)
+            self.attn_mlp = DenseNet([f, 2 * f, f], activation=activation)
         self.readout = DenseNet([f, f, dim_out], activation=activation)
 
     def init(self, key):
-        keys = jax.random.split(key, 2 + 2 * self.n_layers)
-        return {
+        keys = jax.random.split(key, 5 + 2 * self.n_layers)
+        params = {
             "embed": self.embed.init(keys[0]),
             "messages": [n.init(k) for n, k in zip(self.message_nets, keys[1 : 1 + self.n_layers])],
             "updates": [
                 n.init(k)
                 for n, k in zip(self.update_nets, keys[1 + self.n_layers : 1 + 2 * self.n_layers])
             ],
-            "readout": self.readout.init(keys[-1]),
+            "readout": self.readout.init(keys[-3]),
         }
+        if self.attention_heads:
+            params["attn"] = {
+                "qkv": self.attn_qkv.init(keys[-2]),
+                "out": self.attn_out.init(keys[-1]),
+                "mlp": self.attn_mlp.init(jax.random.fold_in(keys[-1], 1)),
+            }
+        return params
 
-    def apply(self, params, x):
+    def node_features(self, params, x):
+        """The shared trunk: (B, n_atoms*3) -> per-atom features (B, N, F)."""
         b = x.shape[0]
         pos = x.reshape(b, self.n_atoms, 3)
         diff = pos[:, :, None, :] - pos[:, None, :, :]
@@ -92,6 +110,29 @@ class InvariantGNN(Net):
             m = msg_net.apply(msg_p, edge_in) * mask[None, :, :, None]
             agg = jnp.sum(m, axis=2)
             h = h + upd_net.apply(upd_p, jnp.concatenate([h, agg], axis=-1))
+        if self.attention_heads:
+            h = h + self._attention(params["attn"], h)
+            h = h + self.attn_mlp.apply(params["attn"]["mlp"], h)
+        return h
+
+    def _attention(self, params, h):
+        b, n, f = h.shape
+        nh = self.attention_heads
+        dh = f // nh
+        qkv = self.attn_qkv.apply(params["qkv"], h)  # (B, N, 3F)
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+
+        def heads(a):  # (B, N, F) -> (B, nh, N, dh)
+            return jnp.transpose(a.reshape(b, n, nh, dh), (0, 2, 1, 3))
+
+        q, k, v = heads(q), heads(k), heads(v)
+        att = jax.nn.softmax(jnp.einsum("bhnd,bhmd->bhnm", q, k) / jnp.sqrt(float(dh)))
+        o = jnp.einsum("bhnm,bhmd->bhnd", att, v)
+        o = jnp.transpose(o, (0, 2, 1, 3)).reshape(b, n, f)
+        return self.attn_out.apply(params["out"], o)
+
+    def apply(self, params, x):
+        h = self.node_features(params, x)
         return self.readout.apply(params["readout"], jnp.mean(h, axis=1))
 
 
@@ -115,6 +156,7 @@ class GNNConditioner(Net):
         gnn_out: int = 64,
         r_max: float = 1.0,
         activation=jax.nn.silu,
+        attention_heads: int = 0,
     ):
         self.circular = np.asarray(circular_indices, dtype=int)
         self.cartesian = np.asarray(cartesian_indices, dtype=int)
@@ -122,7 +164,8 @@ class GNNConditioner(Net):
         assert len(self.cartesian) % 3 == 0
         n_atoms = len(self.cartesian) // 3
         self.gnn = InvariantGNN(
-            n_atoms, gnn_out, n_features=gnn_features, n_layers=gnn_layers, r_max=r_max
+            n_atoms, gnn_out, n_features=gnn_features, n_layers=gnn_layers, r_max=r_max,
+            attention_heads=attention_heads,
         )
         head_in = 2 * len(self.circular) + len(self.other) + gnn_out
         self.head = DenseNet([head_in, *hidden, dim_out], activation=activation)

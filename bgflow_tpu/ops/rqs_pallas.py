@@ -27,7 +27,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from .rqs import DEFAULT_MIN_BIN_HEIGHT, DEFAULT_MIN_BIN_WIDTH, DEFAULT_MIN_DERIVATIVE, rq_spline
 
-__all__ = ["rq_spline_pallas", "rq_spline_pallas_ad"]
+__all__ = ["rq_spline_pallas", "rq_spline_pallas_ad", "rq_spline_pallas_slab"]
 
 _LANES = 128
 
@@ -182,6 +182,26 @@ def rq_spline_pallas(
     hf = to_slabs(unnormalized_heights, num_bins)
     sf = to_slabs(unnormalized_derivatives, num_bins + 1)
 
+    y, ldj = _invoke_rqs_kernel(
+        xf, wf, hf, sf,
+        num_bins=num_bins, inverse=inverse, left=left, right=right,
+        bottom=bottom, top=top, min_bin_width=min_bin_width,
+        min_bin_height=min_bin_height, min_derivative=min_derivative,
+        identity_init=identity_init, block_rows=block_rows, interpret=interpret,
+    )
+    y = y.reshape(-1)[:n].reshape(batch_shape)
+    ldj = ldj.reshape(-1)[:n].reshape(batch_shape)
+    return y, ldj
+
+
+def _invoke_rqs_kernel(
+    xf, wf, hf, sf, *, num_bins, inverse, left, right, bottom, top,
+    min_bin_width, min_bin_height, min_derivative, identity_init,
+    block_rows, interpret,
+):
+    """Launch the fused kernel on pre-slabbed inputs: xf (n_rows, 128),
+    slabs (k, n_rows, 128)."""
+    n_rows = xf.shape[0]
     shift = float(np.log(np.expm1(1.0 - min_derivative))) if identity_init else 0.0
     kernel = functools.partial(
         _rqs_kernel,
@@ -194,20 +214,17 @@ def rq_spline_pallas(
     slab_spec = lambda k: pl.BlockSpec(
         (k, block_rows, _LANES), lambda i: (0, i, 0), memory_space=pltpu.VMEM
     )
-    y, ldj = pl.pallas_call(
+    return pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[elem_spec, slab_spec(num_bins), slab_spec(num_bins), slab_spec(num_bins + 1)],
         out_specs=(elem_spec, elem_spec),
         out_shape=(
-            jax.ShapeDtypeStruct((n_rows, _LANES), x.dtype),
-            jax.ShapeDtypeStruct((n_rows, _LANES), x.dtype),
+            jax.ShapeDtypeStruct((n_rows, _LANES), xf.dtype),
+            jax.ShapeDtypeStruct((n_rows, _LANES), xf.dtype),
         ),
         interpret=interpret,
     )(xf, wf, hf, sf)
-    y = y.reshape(-1)[:n].reshape(batch_shape)
-    ldj = ldj.reshape(-1)[:n].reshape(batch_shape)
-    return y, ldj
 
 
 # ------------------------------------------------- differentiable wrapper --
@@ -261,3 +278,146 @@ def rq_spline_pallas_ad(
     return _rqs_pallas_core(
         config, x, unnormalized_widths, unnormalized_heights, unnormalized_derivatives
     )
+
+
+# ------------------------------------------------------- slab-direct path --
+#
+# The relayout-free fast path for conditional splines: the conditioner
+# emits its output feature-major (raw_t: (3*K*D + nc, B), via
+# DenseNet.apply_transposed — the MXU writes that layout directly), and the
+# kernel's (k, rows, 128) parameter slabs are then built from raw_t with
+# STATIC leading-axis row gathers + reshapes only.  This removes the
+# (B*D, K) -> (K, B*D) HBM transposes that dominated the packed path
+# end-to-end (~(3K+1)x the element count of x in pure relayout traffic).
+# Feature ordering inside raw_t matches ConditionalSplineTransformer's
+# packed convention (widths | heights | slopes, each d-major k-minor, then
+# the noncircular final slopes), so the same trained parameters evaluate
+# identically through either path.
+
+
+def _slab_perm(off, y_dim, num_bins):
+    # rows of raw_t for slab layout: slab k gathers rows [off + d*K + k]
+    return np.asarray(
+        [[off + d * num_bins + k for d in range(y_dim)] for k in range(num_bins)]
+    ).reshape(-1)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _rqs_slab_core(config, x, raw_t):
+    cfg = dict(config)
+    y_dim = cfg.pop("y_dim")
+    num_bins = cfg.pop("num_bins")
+    noncirc = cfg.pop("noncirc_idx")
+    block_rows = cfg.pop("block_rows")
+    interpret = cfg.pop("interpret")
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    B = x.shape[0]
+    K, D = num_bins, y_dim
+    woff, hoff, soff, ncoff = 0, K * D, 2 * K * D, 3 * K * D
+
+    n = D * B
+    chunk = block_rows * _LANES
+    n_pad = (-n) % chunk
+    n_rows = (n + n_pad) // _LANES
+
+    def slab(rows, k_dim):
+        arr = raw_t[rows].reshape(k_dim, n)  # leading-axis static gather
+        if n_pad:
+            arr = jnp.pad(arr, ((0, 0), (0, n_pad)))
+        return arr.reshape(k_dim, n_rows, _LANES)
+
+    wf = slab(_slab_perm(woff, D, K), K)
+    hf = slab(_slab_perm(hoff, D, K), K)
+    # slopes: K slabs from the raw slope channel plus the periodic-wrap
+    # final slab (first slope again, overridden for noncircular dims by the
+    # dedicated trailing features)
+    s_rows = _slab_perm(soff, D, K)
+    nc_rank = {int(d): r for r, d in enumerate(noncirc)}
+    last_rows = np.asarray(
+        [ncoff + nc_rank[d] if d in nc_rank else soff + d * K for d in range(D)]
+    )
+    sf = slab(np.concatenate([s_rows, last_rows]), K + 1)
+
+    xf = x.T.reshape(n)  # (B, D) -> (D*B,): the only data-array transpose
+    if n_pad:
+        xf = jnp.pad(xf, (0, n_pad), constant_values=0.5 * (cfg["left"] + cfg["right"]))
+    xf = xf.reshape(n_rows, _LANES)
+
+    y_rows, ldj_rows = _invoke_rqs_kernel(
+        xf, wf, hf, sf, num_bins=K, block_rows=block_rows, interpret=interpret, **cfg
+    )
+    y = y_rows.reshape(-1)[:n].reshape(D, B)
+    ldj = ldj_rows.reshape(-1)[:n].reshape(D, B)
+    return y.T, jnp.sum(ldj, axis=0)
+
+
+def _slab_reference(config, x, raw_t):
+    """Same function through the packed XLA spline (used for the backward
+    pass; identical values, exact VJP)."""
+    cfg = dict(config)
+    y_dim = cfg.pop("y_dim")
+    num_bins = cfg.pop("num_bins")
+    noncirc = cfg.pop("noncirc_idx")
+    cfg.pop("block_rows")
+    cfg.pop("interpret")
+    K, D = num_bins, y_dim
+    raw = raw_t.T  # (B, 3KD + nc)
+    b_shape = raw.shape[:-1]
+    w = raw[..., : K * D].reshape(*b_shape, D, K)
+    h = raw[..., K * D : 2 * K * D].reshape(*b_shape, D, K)
+    s = raw[..., 2 * K * D : 3 * K * D].reshape(*b_shape, D, K)
+    slopes = jnp.concatenate([s, s[..., :1]], axis=-1)
+    if len(noncirc):
+        slopes = slopes.at[..., np.asarray(noncirc), -1].set(raw[..., 3 * K * D :])
+    y, ldj = rq_spline(x, w, h, slopes, **cfg)
+    return y, jnp.sum(ldj, axis=-1)
+
+
+def _rqs_slab_fwd(config, x, raw_t):
+    return _rqs_slab_core(config, x, raw_t), (x, raw_t)
+
+
+def _rqs_slab_bwd(config, residuals, cotangents):
+    x, raw_t = residuals
+    _, vjp = jax.vjp(lambda xx, rr: _slab_reference(config, xx, rr), x, raw_t)
+    return vjp(cotangents)
+
+
+_rqs_slab_core.defvjp(_rqs_slab_fwd, _rqs_slab_bwd)
+
+
+def rq_spline_pallas_slab(
+    x,
+    raw_t,
+    num_bins: int,
+    noncircular_indices=(),
+    inverse: bool = False,
+    left: float = 0.0,
+    right: float = 1.0,
+    bottom: float = 0.0,
+    top: float = 1.0,
+    min_bin_width: float = DEFAULT_MIN_BIN_WIDTH,
+    min_bin_height: float = DEFAULT_MIN_BIN_HEIGHT,
+    min_derivative: float = DEFAULT_MIN_DERIVATIVE,
+    identity_init: bool = True,
+    block_rows: int = 64,
+    interpret=None,
+):
+    """Conditional RQ spline from feature-major raw conditioner output.
+
+    ``x``: (B, D); ``raw_t``: (3*num_bins*D + len(noncircular_indices), B).
+    Returns (y (B, D), summed ldj (B,)).  Differentiable (Pallas forward,
+    exact XLA-vjp backward).
+    """
+    config = (
+        ("y_dim", int(x.shape[-1])),
+        ("num_bins", int(num_bins)),
+        ("noncirc_idx", tuple(int(i) for i in noncircular_indices)),
+        ("inverse", inverse), ("left", left), ("right", right),
+        ("bottom", bottom), ("top", top),
+        ("min_bin_width", min_bin_width), ("min_bin_height", min_bin_height),
+        ("min_derivative", min_derivative), ("identity_init", identity_init),
+        ("block_rows", block_rows), ("interpret", interpret),
+    )
+    return _rqs_slab_core(config, x, raw_t)

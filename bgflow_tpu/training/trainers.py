@@ -91,10 +91,10 @@ class KLTrainer:
         key,
         batch=None,
         n_kl_samples: int = 0,
-        w_likelihood: float = 1.0,
-        w_energy: float = 1.0,
+        w_likelihood=1.0,
+        w_energy=1.0,
         w_custom: float = 1.0,
-        temperature: float = 1.0,
+        temperature=1.0,
     ):
         """Weighted mixed loss.  Returns (scalar, metrics dict)."""
         metrics = {}
@@ -117,18 +117,27 @@ class KLTrainer:
             metrics["custom"] = cl
             total = total + w_custom * cl
             wsum += w_custom
-        return total / max(wsum, 1e-12), metrics
+        # weights may be traced schedule values — keep the max branchless
+        return total / jnp.maximum(wsum, 1e-12), metrics
 
     def make_train_step(
         self,
         batchsize_likelihood: int = 0,
         batchsize_energy: int = 0,
-        w_likelihood: float = 1.0,
-        w_energy: float = 1.0,
-        temperature: float = 1.0,
+        w_likelihood=1.0,
+        w_energy=1.0,
+        temperature=1.0,
         clip_grad_norm: Optional[float] = None,
     ):
-        """Build one jitted update: (params, opt_state, key, batch?) -> ...
+        """Build one jitted update: (params, opt_state, key, batch?, step) -> ...
+
+        ``w_likelihood`` / ``w_energy`` / ``temperature`` may each be a
+        float or an optax-style schedule ``fn(step) -> value`` — the TPU
+        shape of the reference's ``(interval, scheduler)`` hooks
+        (``trainers.py:96,149-152``): annealing is traced into the one
+        compiled step, driven by the ``step`` counter argument (pass a
+        jnp int32 scalar so schedule changes don't retrace).  Learning-rate
+        schedules go through the optax optimizer as usual.
 
         The NaN guard mirrors the reference (``trainers.py:198-201``): if any
         gradient is non-finite the whole update is skipped, branchlessly.
@@ -137,20 +146,25 @@ class KLTrainer:
         if clip_grad_norm is not None:
             optimizer = optax.chain(optax.clip_by_global_norm(clip_grad_norm), self.optimizer)
 
-        def loss_fn(params, key, batch):
+        def resolve(value, step):
+            return value(step) if callable(value) else value
+
+        def loss_fn(params, key, batch, step):
             return self.loss(
                 params,
                 key,
                 batch=batch,
                 n_kl_samples=batchsize_energy,
-                w_likelihood=w_likelihood,
-                w_energy=w_energy,
-                temperature=temperature,
+                w_likelihood=resolve(w_likelihood, step),
+                w_energy=resolve(w_energy, step),
+                temperature=resolve(temperature, step),
             )
 
         @jax.jit
-        def train_step(params, opt_state, key, batch=None):
-            (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(params, key, batch)
+        def train_step(params, opt_state, key, batch=None, step=0):
+            (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                params, key, batch, step
+            )
             finite = _tree_all_finite(grads) & jnp.isfinite(loss)
             updates, new_opt_state = optimizer.update(grads, opt_state, params)
             new_params = optax.apply_updates(params, updates)
@@ -176,13 +190,29 @@ class KLTrainer:
         opt_state=None,
         batchsize: int = 128,
         n_kl_samples: Optional[int] = None,
-        w_likelihood: float = 1.0,
-        w_energy: float = 1.0,
-        temperature: float = 1.0,
+        w_likelihood=1.0,
+        w_energy=1.0,
+        temperature=1.0,
         progress_interval: Optional[int] = None,
         reporter: Optional[LossReporter] = None,
+        test_data=None,
+        test_interval: Optional[int] = None,
+        test_batchsize: int = 512,
+        checkpoint_dir: Optional[str] = None,
+        checkpoint_interval: Optional[int] = None,
+        start_step: int = 0,
     ):
-        """Run ``n_iter`` optimization steps; returns (params, opt_state, reporter)."""
+        """Run ``n_iter`` optimization steps; returns (params, opt_state, reporter).
+
+        * ``w_likelihood``/``w_energy``/``temperature`` accept floats or
+          ``fn(step)`` schedules (annealing); LR schedules go through optax.
+        * ``test_data``: held-out samples; their NLL is evaluated every
+          ``test_interval`` iterations and recorded by the reporter
+          (reference: ``trainers.py:165-175`` test-NLL track).
+        * ``checkpoint_dir``: orbax-checkpoint ``{params, opt_state, step}``
+          every ``checkpoint_interval`` iterations and at the end; resume by
+          restoring and passing ``params``/``opt_state``/``start_step``.
+        """
         if opt_state is None:
             opt_state = self.init(params)
         n_kl = batchsize if n_kl_samples is None else n_kl_samples
@@ -193,16 +223,49 @@ class KLTrainer:
             w_energy=w_energy,
             temperature=temperature,
         )
+        track_test = test_data is not None
+        if track_test:
+            test_interval = test_interval or max(1, n_iter // 20)
+            test_batch = jnp.asarray(test_data)[:test_batchsize]
+            test_nll = jax.jit(
+                lambda p: jnp.mean(self.bg.energy(p, test_batch))
+            )
         if reporter is None:
-            reporter = LossReporter("loss")
+            reporter = LossReporter("loss", "test_nll") if track_test else LossReporter("loss")
+        last_test = np.nan
         for i in range(n_iter):
+            global_step = start_step + i
             key, key_step, key_data = jax.random.split(key, 3)
             batch = None
             if data is not None:
                 sampled = data.sample(key_data, batchsize)
                 batch = sampled if isinstance(sampled, tuple) else (sampled,)
-            params, opt_state, metrics = step(params, opt_state, key_step, batch)
-            reporter.report(metrics["loss"])
+            params, opt_state, metrics = step(
+                params, opt_state, key_step, batch, jnp.asarray(global_step, jnp.int32)
+            )
+            if track_test:
+                if (i + 1) % test_interval == 0 or i == n_iter - 1:
+                    last_test = float(test_nll(params))
+                reporter.report(metrics["loss"], last_test)
+            else:
+                reporter.report(metrics["loss"])
             if progress_interval and (i + 1) % progress_interval == 0:
-                print(f"iter {i + 1}/{n_iter}: loss={float(metrics['loss']):.4f}")
+                extra = f" test_nll={last_test:.4f}" if track_test else ""
+                print(f"iter {i + 1}/{n_iter}: loss={float(metrics['loss']):.4f}{extra}")
+            if checkpoint_dir and checkpoint_interval and (i + 1) % checkpoint_interval == 0:
+                from ..utils.checkpoint import save_checkpoint
+
+                save_checkpoint(
+                    checkpoint_dir,
+                    global_step + 1,
+                    {"params": params, "opt_state": opt_state, "step": global_step + 1},
+                )
+        if checkpoint_dir:
+            from ..utils.checkpoint import save_checkpoint
+
+            save_checkpoint(
+                checkpoint_dir,
+                start_step + n_iter,
+                {"params": params, "opt_state": opt_state, "step": start_step + n_iter},
+            )
         return params, opt_state, reporter

@@ -28,17 +28,40 @@ class AffineTransformer(Transformer):
         init_downscale: float = 1.0,
         preserve_volume: bool = False,
         is_circular: bool = False,
+        params_net=None,
+        use_scaling: bool = True,
     ):
-        if scale_net is not None and is_circular:
+        """Two conditioner styles:
+
+        * separate ``shift_net`` / ``scale_net`` (the reference's layout,
+          ``affine.py:10-34``), or
+        * a single ``params_net`` emitting ``concat(shift, raw_scale)``
+          (or shift only when ``use_scaling=False`` / circular).  One net =
+          one trunk: an expensive conditioner (e.g. a GNN) is computed once
+          per coupling and shared across heads — the functional equivalent
+          of the reference's GNN-output caching across conditioners
+          (``conditioner_factory.py:139-154``).
+        """
+        if params_net is not None and (shift_net is not None or scale_net is not None):
+            raise ValueError("Pass either params_net or shift_net/scale_net, not both.")
+        if (scale_net is not None or (params_net is not None and use_scaling)) and is_circular:
             raise ValueError("Scaling is not compatible with periodicity.")
         self.shift_net = shift_net
         self.scale_net = scale_net
+        self.params_net = params_net
+        self.use_scaling = bool(use_scaling) and not is_circular
         self.init_downscale = float(init_downscale)
         self.preserve_volume = bool(preserve_volume)
         self.is_circular = bool(is_circular)
 
     def init(self, key):
         params = {}
+        if self.params_net is not None:
+            key, sub = jax.random.split(key)
+            params["net"] = self.params_net.init(sub)
+            if self.use_scaling:
+                params["log_alpha"] = jnp.zeros(()) - self.init_downscale
+            return params
         if self.shift_net is not None:
             key, sub = jax.random.split(key)
             params["shift"] = self.shift_net.init(sub)
@@ -49,6 +72,17 @@ class AffineTransformer(Transformer):
         return params
 
     def _mu_log_sigma(self, params, x, y):
+        if self.params_net is not None:
+            raw = self.params_net.apply(params["net"], x)
+            d = y.shape[-1]
+            if self.use_scaling:
+                mu, raw_scale = raw[..., :d], raw[..., d:]
+                log_sigma = jnp.tanh(raw_scale) * jnp.exp(params["log_alpha"])
+                if self.preserve_volume:
+                    log_sigma = log_sigma - jnp.mean(log_sigma, axis=-1, keepdims=True)
+            else:
+                mu, log_sigma = raw, jnp.zeros_like(y)
+            return mu, log_sigma
         if self.shift_net is not None:
             mu = self.shift_net.apply(params["shift"], x)
         else:

@@ -81,6 +81,33 @@ class ConditionalSplineTransformer(Transformer):
         return w, h, slopes
 
     def _apply(self, params, x, y, spline_inverse: bool):
+        if self.use_pallas and hasattr(self.params_net, "apply_transposed"):
+            # relayout-free fast path: the conditioner's last matmul emits
+            # feature-major (out, B) and the kernel slabs are built with
+            # static row gathers (ops/rqs_pallas.py slab-direct path) —
+            # numerically identical to the packed path below
+            from ..ops.rqs_pallas import rq_spline_pallas_slab
+
+            y_dim = y.shape[-1]
+            raw_t = self.params_net.apply_transposed(params, x)
+            n_noncirc = self._n_noncircular(y_dim)
+            n_bins = (raw_t.shape[0] - n_noncirc) // (y_dim * 3)
+            if raw_t.shape[0] != y_dim * 3 * n_bins + n_noncirc:
+                raise ValueError(
+                    f"params_net output ({raw_t.shape[0]}) does not match "
+                    f"y_dim*3*n_bins + n_noncircular = {y_dim}*3*{n_bins} + {n_noncirc}"
+                )
+            return rq_spline_pallas_slab(
+                y,
+                raw_t,
+                num_bins=n_bins,
+                noncircular_indices=self._noncircular_indices(y_dim),
+                inverse=spline_inverse,
+                left=self.left,
+                right=self.right,
+                bottom=self.bottom,
+                top=self.top,
+            )
         w, h, slopes = self._compute_params(params, x, y.shape[-1])
         if self.use_pallas:
             from ..ops.rqs_pallas import rq_spline_pallas_ad as _rqs

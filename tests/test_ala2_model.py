@@ -22,6 +22,7 @@ def test_ala2_data_generation(model):
     assert float(jnp.max(u)) < 200.0
 
 
+@pytest.mark.slow
 def test_ala2_sample_and_energy(model):
     gen, params = model.generator, model.params
     out = gen.sample(params, jax.random.PRNGKey(1), 32, with_log_weights=True, with_dlogp=True)
@@ -32,6 +33,7 @@ def test_ala2_sample_and_energy(model):
     assert jnp.all(jnp.isfinite(nll))
 
 
+@pytest.mark.slow
 def test_ala2_mixed_training_improves_nll(model):
     gen, params = model.generator, model.params
     trainer = bg.KLTrainer(gen, optimizer=optax.adam(5e-4))

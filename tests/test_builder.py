@@ -51,6 +51,7 @@ def test_builder_split_merge_bookkeeping():
     assert out.xs[1].shape == (11, 20)
 
 
+@pytest.mark.slow
 def test_builder_ala2_mixed_end_to_end(key):
     crd = _mixed_transform()
     shape_info = bg.ShapeDictionary.from_coordinate_transform(crd)
@@ -88,6 +89,7 @@ def test_builder_ala2_mixed_end_to_end(key):
     assert_close(dlogp, -neg_dlogp, 1e-4)
 
 
+@pytest.mark.slow
 def test_builder_ala2_global_end_to_end(key):
     zm = np.vstack([
         ALA2_Z_MATRIX,

@@ -117,6 +117,7 @@ def test_linlogcut_energy_in_bg(key):
     assert jnp.all(jnp.isfinite(g))
 
 
+@pytest.mark.slow
 def test_learnable_truncated_cdf_flow_trains(key):
     """The learnable marginal layer adapts its mu/sigma by NLL training."""
     import optax

@@ -259,3 +259,77 @@ def test_scaling_layers(key, dtype, tol):
     a = jax.random.normal(key, (4, 2), dtype=dtype)
     b = jax.random.normal(jax.random.PRNGKey(1), (4, 3), dtype=dtype)
     _roundtrip(eflow, eparams, (a, b), tol)
+
+
+class _LinearDynamics:
+    """dx/dt = a x with exact divergence a*D (analytic logdet a*D*t)."""
+
+    def __init__(self, a=0.5):
+        self.a = a
+
+    def init(self, key):
+        return ()
+
+    def __call__(self, params, t, x, key=None):
+        return self.a * x, jnp.full(x.shape[0], self.a * x.shape[-1], dtype=x.dtype)
+
+
+def test_dopri5_matches_analytic_logdet(key):
+    """Adaptive dopri5 (rtol/atol control, adjoint gradients) reproduces the
+    exact flow map and logdet of a linear field to solver tolerance."""
+    a, tmax = 0.7, 1.0
+    flow = DiffEqFlow(_LinearDynamics(a), integrator="dopri5", t_max=tmax, rtol=1e-8, atol=1e-8)
+    x = jax.random.normal(key, (5, 3), dtype=jnp.float64)
+    (y,), dlogp = flow.forward((), (x,))
+    assert_close(y, x * jnp.exp(a * tmax), 1e-7)
+    assert_close(dlogp, jnp.full(5, a * 3 * tmax), 1e-7)
+    # inverse integrates the reversed field back
+    (x2,), dlogp_inv = flow.forward((), (y,), inverse=True)
+    assert_close(x2, x, 1e-6)
+    assert_close(dlogp_inv, -dlogp, 1e-6)
+
+
+def test_dopri5_matches_fine_fixed_grid(key):
+    """On a neural field, dopri5 at tight tolerance agrees with a very fine
+    RK4 grid — and quantifies the coarse fixed-grid logdet bias."""
+    dtype = jnp.float64
+    # weight_scale stiffens the field so coarse grids show a measurable bias
+    net = bg.DenseNet([2, 16, 2], activation=jax.nn.tanh, weight_scale=4.0)
+    dyn = BlackBoxDynamics(TimeIndependentDynamics(net), BruteForceEstimator())
+    params = dyn.init(key)
+    x = jax.random.normal(key, (6, 2), dtype=dtype)
+
+    adaptive = DiffEqFlow(dyn, integrator="dopri5", rtol=1e-10, atol=1e-10)
+    (y_ref,), l_ref = adaptive.forward(params, (x,))
+
+    errs = []
+    for n_steps in (4, 8, 16):
+        f = DiffEqFlow(dyn, n_time_steps=n_steps)
+        (_,), l = f.forward(params, (x,))
+        errs.append(float(jnp.max(jnp.abs(l - l_ref))))
+    # RK4 logdet bias decays ~4th order: halving dt cuts the error >= 8x
+    assert errs[0] > errs[1] > errs[2]
+    assert errs[0] / max(errs[2], 1e-14) > 50.0
+    # fine grid has effectively converged to the adaptive answer
+    f64 = DiffEqFlow(dyn, n_time_steps=64)
+    (_,), l64 = f64.forward(params, (x,))
+    assert_close(l64, l_ref, 1e-7)
+
+
+@pytest.mark.slow
+def test_dopri5_adjoint_gradients(key):
+    """Gradients through the adaptive solver (continuous adjoint) agree
+    with backprop through a fine fixed grid."""
+    net = bg.DenseNet([2, 8, 2], activation=jax.nn.tanh)
+    dyn = BlackBoxDynamics(TimeIndependentDynamics(net), BruteForceEstimator())
+    params = dyn.init(key)
+    x = jax.random.normal(key, (4, 2), dtype=jnp.float64)
+
+    def loss(flow, p):
+        (y,), dlogp = flow.forward(p, (x,))
+        return jnp.sum(y**2) + jnp.sum(dlogp)
+
+    g_adj = jax.grad(lambda p: loss(DiffEqFlow(dyn, integrator="dopri5", rtol=1e-9, atol=1e-9), p))(params)
+    g_fix = jax.grad(lambda p: loss(DiffEqFlow(dyn, n_time_steps=64), p))(params)
+    for a, b in zip(jax.tree_util.tree_leaves(g_adj), jax.tree_util.tree_leaves(g_fix)):
+        assert_close(a, b, 1e-5)

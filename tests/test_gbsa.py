@@ -82,6 +82,7 @@ def test_opposite_charges_screened_in_solvent():
     assert e_near - self_e > e_far - self_e
 
 
+@pytest.mark.slow
 def test_ala2_with_implicit_solvent(key):
     ff_vac = build_ala2_forcefield()
     ff_gb = build_ala2_forcefield(implicit_solvent=True)

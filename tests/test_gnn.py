@@ -55,3 +55,63 @@ def test_gnn_conditioner_in_builder(key):
     xs2, dlogp2 = gen.flow.forward(params, zs)
     for a, b in zip(out.xs, xs2):
         assert_close(a, b, 1e-4)
+
+
+def test_gnn_attention_readout_invariance(key):
+    """MHA readout preserves E(3) and permutation invariance of the pooled
+    embedding (the reference's optional Transformer head, GNN_factory)."""
+    gnn = InvariantGNN(n_atoms=6, dim_out=8, n_features=32, attention_heads=4)
+    params = gnn.init(key)
+    x = jax.random.normal(key, (3, 18))
+    y = gnn.apply(params, x)
+    shift = jnp.tile(jnp.asarray([0.1, 0.2, -0.4]), 6)
+    assert_close(gnn.apply(params, x + shift), y, 1e-5)
+    theta = 1.1
+    rot = jnp.asarray([
+        [jnp.cos(theta), 0.0, -jnp.sin(theta)],
+        [0.0, 1.0, 0.0],
+        [jnp.sin(theta), 0.0, jnp.cos(theta)],
+    ])
+    xr = (x.reshape(3, 6, 3) @ rot.T).reshape(3, 18)
+    assert_close(gnn.apply(params, xr), y, 1e-5)
+    # permutation invariance of the mean-pooled readout
+    perm = np.array([3, 1, 5, 0, 4, 2])
+    xp = x.reshape(3, 6, 3)[:, perm].reshape(3, 18)
+    assert_close(gnn.apply(params, xp), y, 1e-5)
+    # attention params actually contribute
+    assert "attn" in params
+
+
+@pytest.mark.slow
+def test_gnn_shared_trunk_affine_coupling(key):
+    """With a GNN conditioner on an affine coupling, the builder merges
+    shift/scale heads into ONE net (single trunk evaluation, shared params)."""
+    from bgflow_tpu.factory.registries import make_conditioners
+    from bgflow_tpu.nets.gnn import GNNConditioner
+
+    data = np.asarray(_random_ala2_xyz(jax.random.PRNGKey(42), 128, jnp.float64))
+    crd = bg.MixedCoordinateTransformation(data, ALA2_Z_MATRIX, ALA2_FIXED, keepdims=15)
+    info = bg.ShapeDictionary.from_coordinate_transform(crd)
+    conds = make_conditioners(
+        bg.AffineTransformer,
+        what=(bg.BONDS,),
+        on=(bg.FIXED,),
+        shape_info=info,
+        conditioner_type="GNN",
+    )
+    # merged: one params_net (not shift_net + scale_net), scaling preserved
+    assert set(conds) == {"params_net", "use_scaling"}
+    assert conds["use_scaling"] is True
+    assert isinstance(conds["params_net"], GNNConditioner)
+    assert conds["params_net"].head.dim_out == 2 * info[bg.BONDS][0]
+
+    # and it builds + runs end-to-end through the builder
+    builder = bg.BoltzmannGeneratorBuilder(info)
+    builder.default_transformer_type = bg.AffineTransformer
+    builder.add_condition(bg.BONDS, on=bg.FIXED, conditioner_type="GNN")
+    builder.add_map_to_ic_domains()
+    builder.add_map_to_cartesian(crd)
+    gen = builder.build_generator(check_target=False)
+    params = gen.init(key)
+    out = gen.sample(params, jax.random.PRNGKey(1), 8)
+    assert bool(jnp.all(jnp.isfinite(out.xs[0])))

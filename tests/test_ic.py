@@ -131,6 +131,7 @@ def test_reference_system_roundtrip(key, dtype):
     assert_close(dlogp, -dlogp_inv, 1e-2 if dtype == jnp.float32 else 1e-7)
 
 
+@pytest.mark.slow
 def test_global_ic_roundtrip(key, dtype):
     zm = np.vstack([
         ALA2_Z_MATRIX,

@@ -7,6 +7,8 @@ from the same force field must produce statistically compatible marginals.
 """
 import math
 
+import pytest
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -32,6 +34,7 @@ def _setup():
     return data, crd, builder_dims, ff
 
 
+@pytest.mark.slow
 def test_ff_informed_matches_data_informed():
     data, crd, dims, ff = _setup()
     m_ff = InternalCoordinateMarginals(dims)
@@ -86,6 +89,7 @@ def test_ff_informed_missing_term_raises():
         m.inform_with_force_field(ff2, crd)
 
 
+@pytest.mark.slow
 def test_make_ala2_generator_with_ff_marginals():
     key = jax.random.PRNGKey(0)
     data = generate_ala2_data(key, n_samples=256, n_chains=16, n_equilibration=300)

@@ -8,6 +8,7 @@ import bgflow_tpu as bg
 from tests.conftest import assert_close
 
 
+@pytest.mark.slow
 def test_bnaf_density_estimation(key):
     flow = bg.BNAFlow(dim=3, block_sizes=(1, 6, 6, 1))
     params = flow.init(key)
@@ -23,6 +24,7 @@ def test_bnaf_density_estimation(key):
     assert jnp.all(jnp.diagonal(jac, axis1=-2, axis2=-1) > 0)
 
 
+@pytest.mark.slow
 def test_bnaf_trains_as_density_estimator(key):
     import optax
 

@@ -24,6 +24,7 @@ def test_mesh_has_8_devices():
     assert mesh.shape["dp"] == 8
 
 
+@pytest.mark.slow
 def test_replica_exchange_batched(key):
     """Exchange + MCMC on a double well: cold chains cross the barrier via
     the ladder (the point of parallel tempering)."""

@@ -53,6 +53,7 @@ def test_pallas_padding_path(key):
     assert_close(ldj_pal, ldj_ref, 1e-4)
 
 
+@pytest.mark.slow
 def test_pallas_ad_gradients_match_xla(key):
     """The differentiable wrapper (Pallas fwd, XLA-vjp bwd) gives the same
     gradients as the pure XLA path."""
@@ -73,3 +74,101 @@ def test_pallas_ad_gradients_match_xla(key):
     g2 = jax.grad(lambda *a: loss(rq_spline, *a), argnums=(0, 1, 2, 3))(w, h, s, x)
     for a, b in zip(g1, g2):
         assert_close(a, b, 1e-4)
+
+
+def test_apply_transposed_matches_apply(key):
+    import bgflow_tpu as bg
+
+    net = bg.DenseNet([7, 32, 19])
+    params = net.init(key)
+    x = jax.random.normal(jax.random.PRNGKey(1), (13, 7))
+    assert_close(net.apply_transposed(params, x), net.apply(params, x).T, 1e-6)
+    wrapped = bg.WrapPeriodic(bg.DenseNet([10, 16, 5]), indices=[0, 2, 4])
+    wp = wrapped.init(jax.random.PRNGKey(2))
+    xw = jax.random.normal(jax.random.PRNGKey(3), (9, 7))
+    assert_close(wrapped.apply_transposed(wp, xw), wrapped.apply(wp, xw).T, 1e-6)
+
+
+@pytest.mark.parametrize("inverse", [False, True], ids=["fwd", "inv"])
+def test_slab_path_matches_packed(key, inverse):
+    """The slab-direct path (feature-major conditioner output + static row
+    gathers) computes the identical function of the same raw features."""
+    from bgflow_tpu.ops.rqs_pallas import rq_spline_pallas_slab, _slab_reference
+
+    B, D, K = 37, 5, 8
+    noncirc = (1, 3)
+    n_raw = 3 * K * D + len(noncirc)
+    k1, k2 = jax.random.split(key)
+    x = jax.random.uniform(k1, (B, D), dtype=jnp.float32, minval=0.01, maxval=0.99)
+    raw_t = jax.random.normal(k2, (n_raw, B), dtype=jnp.float32)
+
+    y_slab, ldj_slab = rq_spline_pallas_slab(
+        x, raw_t, num_bins=K, noncircular_indices=noncirc,
+        inverse=inverse, block_rows=8, interpret=True,
+    )
+    # packed reference: unpack raw the transformer's way and use the XLA rqs
+    config = (
+        ("y_dim", D), ("num_bins", K), ("noncirc_idx", noncirc),
+        ("inverse", inverse), ("left", 0.0), ("right", 1.0),
+        ("bottom", 0.0), ("top", 1.0),
+        ("min_bin_width", 1e-3), ("min_bin_height", 1e-3),
+        ("min_derivative", 1e-3), ("identity_init", True),
+        ("block_rows", 8), ("interpret", True),
+    )
+    y_ref, ldj_ref = _slab_reference(config, x, raw_t)
+    assert_close(y_slab, y_ref, 1e-5)
+    assert_close(ldj_slab, ldj_ref, 1e-4)
+
+
+def test_slab_path_gradients_match(key):
+    from bgflow_tpu.ops.rqs_pallas import rq_spline_pallas_slab
+
+    B, D, K = 16, 3, 6
+    noncirc = (0,)
+    n_raw = 3 * K * D + len(noncirc)
+    k1, k2 = jax.random.split(key)
+    x = jax.random.uniform(k1, (B, D), dtype=jnp.float32, minval=0.05, maxval=0.95)
+    raw_t = 0.5 * jax.random.normal(k2, (n_raw, B), dtype=jnp.float32)
+
+    def loss_slab(x, r):
+        y, ldj = rq_spline_pallas_slab(
+            x, r, num_bins=K, noncircular_indices=noncirc, block_rows=8, interpret=True
+        )
+        return jnp.sum(y**2) + jnp.sum(ldj)
+
+    g_x, g_r = jax.grad(loss_slab, argnums=(0, 1))(x, raw_t)
+    # finite-difference spot check
+    eps = 1e-3
+    for (arr, grad, idx) in [(x, g_x, (3, 1)), (raw_t, g_r, (5, 2))]:
+        ap = arr.at[idx].add(eps)
+        am = arr.at[idx].add(-eps)
+        if arr is x:
+            fd = (loss_slab(ap, raw_t) - loss_slab(am, raw_t)) / (2 * eps)
+        else:
+            fd = (loss_slab(x, ap) - loss_slab(x, am)) / (2 * eps)
+        assert abs(float(grad[idx]) - float(fd)) < 2e-2 * max(1.0, abs(float(fd)))
+
+
+def test_spline_transformer_slab_path_matches_xla(key):
+    """End-to-end through ConditionalSplineTransformer: use_pallas with a
+    DenseNet conditioner takes the slab path and must agree with the plain
+    XLA transformer."""
+    import bgflow_tpu as bg
+
+    D_out, D_in, K = 5, 4, 8
+    is_circ = jnp.asarray([True, False, True, True, False])
+    n_out = D_out * 3 * K + 2
+    net = bg.DenseNet([D_in, 32, n_out])
+    t_xla = bg.ConditionalSplineTransformer(net, is_circular=is_circ)
+    t_slab = bg.ConditionalSplineTransformer(net, is_circular=is_circ, use_pallas=True)
+    params = t_xla.init(key)
+    x = jax.random.normal(jax.random.PRNGKey(1), (23, D_in))
+    y = jax.random.uniform(jax.random.PRNGKey(2), (23, D_out), minval=0.01, maxval=0.99)
+    z1, l1 = t_xla._forward(params, x, y)
+    z2, l2 = t_slab._forward(params, x, y)
+    assert_close(z1, z2, 1e-5)
+    assert_close(l1, l2, 1e-4)
+    z1i, l1i = t_xla._inverse(params, x, y)
+    z2i, l2i = t_slab._inverse(params, x, y)
+    assert_close(z1i, z2i, 1e-5)
+    assert_close(l1i, l2i, 1e-4)

@@ -3,6 +3,7 @@
 Reference anchor: ``README.md:54-96`` (2-D double well + RealNVP coupling +
 Normal prior, mixed NLL/KL training).
 """
+import pytest
 import jax
 import jax.numpy as jnp
 import optax
@@ -60,6 +61,7 @@ def test_mixed_training_with_data(key):
     assert jnp.isfinite(reporter.recent()[0])
 
 
+@pytest.mark.slow
 def test_trained_bg_covers_both_wells(key):
     gen, params = make_realnvp_bg(key)
     trainer = bg.KLTrainer(gen, train_likelihood=False, optimizer=optax.adam(3e-3))
@@ -91,3 +93,62 @@ def test_nan_guard_skips_step(key):
     assert bool(metrics["skipped"])
     for a, b in zip(jax.tree_util.tree_leaves(params), jax.tree_util.tree_leaves(new_params)):
         assert jnp.all(a == b)
+
+
+def test_schedule_annealing_traced(key):
+    """w_energy/temperature schedules are functions of the step counter,
+    evaluated inside the one compiled step (no retrace per iteration)."""
+    import optax
+
+    gen, params = make_realnvp_bg(key)
+    trainer = bg.KLTrainer(gen, train_likelihood=False)
+    w_sched = optax.linear_schedule(0.0, 1.0, transition_steps=10)
+    t_sched = lambda step: 2.0 - jnp.minimum(step, 10) / 10.0
+    step = trainer.make_train_step(
+        batchsize_energy=64, w_energy=w_sched, temperature=t_sched
+    )
+    opt_state = trainer.init(params)
+    # at step 0 the KL weight is 0 -> the update must be a no-op
+    p0, _, m0 = step(params, opt_state, key, None, jnp.asarray(0, jnp.int32))
+    for a, b in zip(jax.tree_util.tree_leaves(params), jax.tree_util.tree_leaves(p0)):
+        assert jnp.all(jnp.abs(a - b) < 1e-12)
+    # at step 10 the weight is 1 -> parameters move
+    p1, _, m1 = step(params, opt_state, key, None, jnp.asarray(10, jnp.int32))
+    moved = any(
+        bool(jnp.any(jnp.abs(a - b) > 0))
+        for a, b in zip(jax.tree_util.tree_leaves(params), jax.tree_util.tree_leaves(p1))
+    )
+    assert moved
+
+
+def test_train_with_test_nll_and_checkpoint(key, tmp_path):
+    """held-out NLL tracking + orbax checkpointing wired into train()."""
+    from bgflow_tpu.utils.checkpoint import restore_checkpoint
+
+    gen, params = make_realnvp_bg(key)
+    data = bg.DataSetSampler(jax.random.normal(key, (256, 2)) + 1.4)
+    test = jax.random.normal(jax.random.PRNGKey(7), (64, 2)) + 1.4
+    trainer = bg.KLTrainer(gen, train_energy=False)
+    ckpt = str(tmp_path / "ckpt")
+    params, opt_state, reporter = trainer.train(
+        params,
+        key,
+        n_iter=12,
+        data=data,
+        batchsize=64,
+        test_data=test,
+        test_interval=4,
+        checkpoint_dir=ckpt,
+        checkpoint_interval=6,
+    )
+    losses = reporter.losses()
+    assert len(losses) == 2  # loss + test_nll tracks
+    import numpy as np
+
+    assert np.isfinite(losses[1][-1])
+    restored = restore_checkpoint(ckpt)
+    assert restored["step"] == 12
+    for a, b in zip(
+        jax.tree_util.tree_leaves(params), jax.tree_util.tree_leaves(restored["params"])
+    ):
+        assert jnp.allclose(jnp.asarray(a), jnp.asarray(b))

@@ -91,6 +91,7 @@ def _rand_spline_params(key, shape_wh, shape_s, dtype):
     return w, h, s
 
 
+@pytest.mark.slow
 def test_rq_spline_roundtrip(key, dtype, tol):
     B, D, K = 16, 5, 8
     w, h, s = _rand_spline_params(key, (B, D, K), (B, D, K + 1), dtype)
@@ -112,6 +113,7 @@ def test_rq_spline_identity_at_zero(key, dtype, tol):
     assert_close(ldj, jnp.zeros_like(x), 1e-4 if dtype == jnp.float32 else 1e-9)
 
 
+@pytest.mark.slow
 def test_rq_spline_ldj_vs_autodiff(key, dtype):
     if dtype == jnp.float32:
         pytest.skip("autodiff check in f64 only")
