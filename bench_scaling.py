@@ -19,7 +19,7 @@ from jax.sharding import NamedSharding, PartitionSpec as P
 
 import bgflow_tpu as bg
 from bgflow_tpu.parallel.mesh import make_mesh
-from bench import make_ala2_generator
+from bench import make_flagship
 
 PER_DEVICE_BATCH = 65536
 
@@ -48,7 +48,9 @@ def measure(n_devices: int, params, gen, key):
 
 def main():
     key = jax.random.PRNGKey(0)
-    gen, params = make_ala2_generator(key)
+    # affine path: on virtual CPU devices the Pallas kernels would run in
+    # the (slow) interpreter; sharding mechanics are identical
+    gen, params = make_flagship(key, transformer="affine")
     n_available = len(jax.devices())
     counts = [c for c in (1, 2, 4, 8, 16, 32) if c <= n_available]
     base_per_device = None

@@ -93,6 +93,7 @@ from .samplers.mcmc import (
     GaussianProposal,
     LatentProposal,
     MCMCStep,
+    HMCStep,
     GaussianMCMCSampler,
     metropolis_accept,
 )

@@ -102,7 +102,7 @@ class BoltzmannGeneratorBuilder:
         # group name -> list of layer indices (for per-group optimizers)
         self.param_groups: Mapping[str, list] = dict()
         dims = "; ".join(f"{f.name}: {self.prior_dims[f]}" for f in prior_dims)
-        logger.info(f"BG Builder  :::  ({dims})")
+        logger.info(f"builder fields: {dims}")
 
     # -- assembly ---------------------------------------------------------
     def build_generator(self, check_target: bool = True) -> BoltzmannGenerator:
@@ -159,7 +159,7 @@ class BoltzmannGeneratorBuilder:
         on = _tuple(on)
         what = _tuple(what)
         if len(on) == 0:
-            raise ValueError("Need to condition on something.")
+            raise ValueError("add_condition requires at least one conditioning field (on=...).")
         if len(what) == 0:
             raise ValueError("Need to transform something.")
 
@@ -267,7 +267,7 @@ class BoltzmannGeneratorBuilder:
             to = TensorInfo(name=to, is_circular=what[0].is_circular)
         if not all(w.is_circular == to.is_circular for w in what):
             raise ValueError(
-                "Merging non-circular with circular tensors is dangerous and therefore disabled."
+                "Refusing to merge circular and non-circular channels into one field: downstream circularity bookkeeping would be wrong."
             )
         input_indices = [self.current_dims.index(el) for el in what]
         if sizes_or_indices is None:

@@ -28,7 +28,12 @@ from ..factory.tensor_info import ANGLES, BONDS, FIXED, TORSIONS, ShapeDictionar
 from ..flows.ic import MixedCoordinateTransformation
 from ..samplers.md import baoab_run
 
-__all__ = ["Ala2Model", "generate_ala2_data", "make_ala2_generator"]
+__all__ = [
+    "Ala2Model",
+    "generate_ala2_data",
+    "generate_ala2_data_exact",
+    "make_ala2_generator",
+]
 
 
 def generate_ala2_data(
@@ -68,6 +73,80 @@ def generate_ala2_data(
         )
         data = frames.reshape(-1, 66)
     return data
+
+
+ALA2_MASSES = np.array(
+    # amu per atom, ordering of ALA2_ATOMS (H=1.008, C=12.011, N=14.007, O=15.999)
+    [1.008, 12.011, 1.008, 1.008, 12.011, 15.999, 14.007, 1.008, 12.011, 1.008,
+     12.011, 1.008, 1.008, 1.008, 12.011, 15.999, 14.007, 1.008, 12.011, 1.008,
+     1.008, 1.008]
+)
+
+
+def generate_ala2_data_exact(
+    key,
+    n_samples: int = 65536,
+    n_ladders: int = 64,
+    temperatures=(1.0, 1.5, 2.25, 3.375),
+    step_size: float = 4e-3,
+    n_leapfrog: int = 10,
+    n_burnin: int = 200,
+    stride: int = 5,
+    temperature: float = 300.0,
+    align: bool = True,
+    dtype=jnp.float32,
+):
+    """Exact-Boltzmann ala2 training data: HMC + replica exchange.
+
+    Unlike ``generate_ala2_data`` (unadjusted BAOAB, whose dt bias made the
+    round-1 data non-Boltzmann), every move here is Metropolis-corrected —
+    HMC within each temperature, neighbor swaps across the ladder — so the
+    T=1 marginal is exactly exp(-u) regardless of step size, and the
+    tempering ladder carries chains over the phi barrier.  Temperatures are
+    reduced multiples of the physical ``temperature``.
+
+    Returns (n_samples, 66) frames from the T=1 rungs, Kabsch-aligned.
+    """
+    from ..ops.geometry import kabsch_align
+    from ..parallel.tempering import ReplicaExchangeStep
+    from ..samplers.iterative import IterativeSampler, SamplerState
+    from ..samplers.mcmc import HMCStep
+
+    temps = jnp.asarray(temperatures, dtype=dtype)
+    k = temps.shape[0]
+    temps_flat = jnp.tile(temps, n_ladders)
+    masses = jnp.asarray(np.repeat(ALA2_MASSES, 3) / ALA2_MASSES.min(), dtype=dtype)
+
+    ff = build_ala2_forcefield(temperature=temperature)
+    x0 = jnp.asarray(ALA2_REFERENCE_XYZ, dtype=dtype).reshape(1, -1)
+    x0 = jnp.repeat(x0, n_ladders * k, axis=0)
+
+    # the stride lives in HMCStep.n_steps (a lax.scan) rather than the
+    # sampler's stride (a Python unroll): one compiled body instead of
+    # `stride` copies — compile time matters through the TPU tunnel
+    hmc = HMCStep(
+        ff,
+        step_size=step_size,
+        n_leapfrog=n_leapfrog,
+        target_temperatures=temps_flat,
+        masses=masses,
+        n_steps=stride,
+    )
+    rex = ReplicaExchangeStep(ff, temps)
+    sampler = IterativeSampler(
+        SamplerState(samples=(x0,)), [hmc, rex], n_burnin=n_burnin
+    )
+    n_iter = -(-n_samples // n_ladders)  # frames per ladder
+    frames = sampler.sample(key, n_iter)  # (n_iter, B, 66)
+    cold = frames[:, 0::k].reshape(-1, 66)[:n_samples]
+    if align:
+        aligned = kabsch_align(
+            cold.reshape(-1, 22, 3),
+            jnp.asarray(ALA2_REFERENCE_XYZ, dtype=dtype),
+            atoms=ALA2_FIXED_ATOMS,
+        )
+        cold = aligned.reshape(-1, 66)
+    return cold
 
 
 def make_ala2_generator(

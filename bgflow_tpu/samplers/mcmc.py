@@ -20,6 +20,7 @@ __all__ = [
     "GaussianProposal",
     "LatentProposal",
     "MCMCStep",
+    "HMCStep",
     "GaussianMCMCSampler",
     "metropolis_accept",
 ]
@@ -106,6 +107,99 @@ class MCMCStep(SamplerStep):
             samples=merged,
             energies=jnp.where(accept, proposed_energies, state.energies),
         )
+
+
+class HMCStep(SamplerStep):
+    """Hamiltonian Monte Carlo: leapfrog proposals + exact Metropolis.
+
+    Exact with respect to the target at ANY step size — unlike unadjusted
+    Langevin/BAOAB MD, whose dt-discretization bias is what made round-1
+    ala2 training data non-Boltzmann.  Momenta are resampled every step
+    (p ~ N(0, m)), ``n_leapfrog`` leapfrog steps propose, and the full
+    Hamiltonian difference decides acceptance, so the only cost of a large
+    step size is a lower acceptance rate, never a biased ensemble.
+
+    Per-chain ``target_temperatures`` (B,) make one batch a parallel-
+    tempering ladder: chain i samples exp(-u(x)/T_i), and its step size is
+    scaled by sqrt(T_i).  ``masses`` (scalar or (D,)): heavier coordinates
+    move slower — physical atom masses help when stiff bonds (X-H) limit
+    the step size.  (The reference has no HMC; its closest tool is the
+    Gaussian random walk, ``mcmc.py:125-189``.)
+    """
+
+    def __init__(
+        self,
+        target_energy,
+        step_size: float = 1e-3,
+        n_leapfrog: int = 10,
+        target_temperatures=1.0,
+        masses=1.0,
+        jitter: float = 0.2,
+        n_steps: int = 1,
+    ):
+        super().__init__(n_steps=n_steps)
+        self.target_energy = target_energy
+        self.step_size = step_size
+        self.n_leapfrog = int(n_leapfrog)
+        self.target_temperatures = jnp.asarray(target_temperatures)
+        self.masses = jnp.asarray(masses)
+        # per-chain step-size jitter dt * U(1-j, 1+j): breaks the leapfrog
+        # resonance on harmonic modes (a trajectory length near a half
+        # period maps x -> -x and freezes the mode's amplitude — with stiff
+        # bonds this silently stalls mixing at full acceptance)
+        self.jitter = float(jitter)
+
+    def _grad_u(self, x):
+        return jax.grad(lambda xx: jnp.sum(self.target_energy.energy(xx)))(x)
+
+    def _step(self, state: SamplerState, key) -> SamplerState:
+        (x,) = state.samples
+        if state.energies is None:
+            state = state.replace(energies=self.target_energy.energy(x))
+        u0 = state.energies
+        key_p, key_a, key_j = jax.random.split(key, 3)
+
+        T = jnp.broadcast_to(self.target_temperatures, u0.shape).astype(x.dtype)
+        m = self.masses.astype(x.dtype)  # scalar or (D,)
+        dt = (self.step_size * jnp.sqrt(T))[:, None]
+        if self.jitter > 0.0:
+            dt = dt * jax.random.uniform(
+                key_j, dt.shape, dtype=x.dtype,
+                minval=1.0 - self.jitter, maxval=1.0 + self.jitter,
+            )
+
+        p = jnp.sqrt(m) * jax.random.normal(key_p, x.shape, dtype=x.dtype)
+
+        def kinetic(p):
+            return 0.5 * jnp.sum(p * p / m, axis=-1)
+
+        h0 = u0 / T + kinetic(p)
+
+        inv_T = (1.0 / T)[:, None]
+        # leapfrog on phi(x) = u(x)/T: half kick, L-1 full (drift+kick),
+        # final drift + half kick
+        p = p - 0.5 * dt * inv_T * self._grad_u(x)
+
+        def drift_kick(carry, _):
+            x, p = carry
+            x = x + dt * p / m
+            p = p - dt * inv_T * self._grad_u(x)
+            return (x, p), None
+
+        if self.n_leapfrog > 1:
+            (x, p), _ = jax.lax.scan(drift_kick, (x, p), None, length=self.n_leapfrog - 1)
+        x = x + dt * p / m
+        p = p - 0.5 * dt * inv_T * self._grad_u(x)
+
+        u1 = self.target_energy.energy(x)
+        h1 = u1 / T + kinetic(p)
+        log_u = jnp.log(jax.random.uniform(key_a, u0.shape))
+        # guard: non-finite proposals always reject
+        accept = (log_u < -(h1 - h0)) & jnp.isfinite(h1)
+
+        new_x = jnp.where(accept[:, None], x, state.samples[0])
+        new_u = jnp.where(accept, u1, u0)
+        return state.replace(samples=(new_x,), energies=new_u)
 
 
 class GaussianMCMCSampler(IterativeSampler):

@@ -16,24 +16,39 @@ import jax.numpy as jnp
 from ..energies.base import Energy
 from ..utils.free_energy import mbar
 from .iterative import IterativeSampler, SamplerState
-from .mcmc import GaussianProposal, MCMCStep
+from .mcmc import GaussianProposal, HMCStep, MCMCStep
 
 __all__ = ["UmbrellaSampling", "BiasedEnergy"]
 
 
-class BiasedEnergy(Energy):
-    """u(x) + 0.5 k (cv(x) - center_b)^2 with per-batch-element centers."""
+def _cv_displacement(c, centers, period):
+    d = c - centers
+    if period is None:
+        return d
+    # minimum-image displacement for periodic CVs (torsions)
+    return jnp.mod(d + 0.5 * period, period) - 0.5 * period
 
-    def __init__(self, energy: Energy, cv: Callable, centers, k_umbrella: float):
+
+class BiasedEnergy(Energy):
+    """u(x) + 0.5 k d(cv(x), center_b)^2 with per-batch-element centers.
+
+    ``cv_period`` makes the bias distance periodic (e.g. 2*pi for a
+    dihedral CV) — without it an umbrella at phi = pi would pull chains the
+    long way around the circle.
+    """
+
+    def __init__(self, energy: Energy, cv: Callable, centers, k_umbrella: float,
+                 cv_period: Optional[float] = None):
         super().__init__([list(s) for s in energy.event_shapes])
         self.base = energy
         self.cv = cv
         self.centers = jnp.asarray(centers)
         self.k_umbrella = k_umbrella
+        self.cv_period = cv_period
 
     def bias(self, *xs):
-        c = self.cv(*xs)
-        return 0.5 * self.k_umbrella * (c - self.centers) ** 2
+        d = _cv_displacement(self.cv(*xs), self.centers, self.cv_period)
+        return 0.5 * self.k_umbrella * d**2
 
     def _energy(self, *xs):
         return self.base.energy(*xs) + self.bias(*xs)
@@ -51,20 +66,37 @@ class UmbrellaSampling:
     """
 
     def __init__(self, energy: Energy, cv: Callable, centers, k_umbrella: float,
-                 noise_std: float = 0.1, stride: int = 10, n_burnin: int = 100):
+                 noise_std: float = 0.1, stride: int = 10, n_burnin: int = 100,
+                 cv_period: Optional[float] = None, mover: str = "gaussian",
+                 hmc_step_size: float = 1e-3, hmc_leapfrog: int = 10, masses=1.0):
         self.energy = energy
         self.cv = cv
         self.centers = jnp.asarray(centers)
         self.k_umbrella = float(k_umbrella)
-        self.biased = BiasedEnergy(energy, cv, self.centers, self.k_umbrella)
+        self.cv_period = cv_period
+        self.biased = BiasedEnergy(energy, cv, self.centers, self.k_umbrella, cv_period)
         self.noise_std = noise_std
         self.stride = stride
         self.n_burnin = n_burnin
+        # "hmc" movers mix vastly better on molecular windows (gradient
+        # moves along the window's free valley); both are exact MCMC
+        self.mover = mover
+        self.hmc_step_size = hmc_step_size
+        self.hmc_leapfrog = hmc_leapfrog
+        self.masses = masses
 
     def run(self, key, x0, n_iterations: int):
         """x0: (K, ...) initial state per window; returns samples
         (n_iterations, K, ...)."""
-        step = MCMCStep(self.biased, proposal=GaussianProposal(self.noise_std))
+        if self.mover == "hmc":
+            step = HMCStep(
+                self.biased,
+                step_size=self.hmc_step_size,
+                n_leapfrog=self.hmc_leapfrog,
+                masses=self.masses,
+            )
+        else:
+            step = MCMCStep(self.biased, proposal=GaussianProposal(self.noise_std))
         sampler = IterativeSampler(
             SamplerState(samples=(x0,)), [step], stride=self.stride, n_burnin=self.n_burnin
         )
@@ -80,31 +112,34 @@ class UmbrellaSampling:
         u_base = self.energy.energy(flat)  # (N,)
         cv_vals = self.cv(flat)  # (N,)
         # biased energies of all pooled samples in every window
-        u_kn = u_base[None, :] + 0.5 * self.k_umbrella * (
-            cv_vals[None, :] - self.centers[:, None]
+        u_kn = u_base[None, :] + 0.5 * self.k_umbrella * _cv_displacement(
+            cv_vals[None, :], self.centers[:, None], self.cv_period
         ) ** 2
         n_k = jnp.full(k, n_iter)
         f_k = mbar(u_kn, n_k)
         return f_k, cv_vals.reshape(n_iter, k)
 
-    def pmf(self, samples, bins):
-        """Unbiased potential of mean force over CV bins via MBAR weights."""
+    def unbiased_log_weights(self, samples):
+        """Normalized MBAR log-weights of every pooled sample in the
+        UNBIASED state; returns (cv_values (N,), log_w (N,))."""
         n_iter, k = samples.shape[0], samples.shape[1]
         flat = samples.reshape(n_iter * k, *samples.shape[2:])
         u_base = self.energy.energy(flat)
         cv_vals = self.cv(flat)
-        u_kn = u_base[None, :] + 0.5 * self.k_umbrella * (
-            cv_vals[None, :] - self.centers[:, None]
+        u_kn = u_base[None, :] + 0.5 * self.k_umbrella * _cv_displacement(
+            cv_vals[None, :], self.centers[:, None], self.cv_period
         ) ** 2
         n_k = jnp.full(k, n_iter)
         f_k = mbar(u_kn, n_k)
-        # MBAR weights of each pooled sample in the *unbiased* state
         log_denom = jax.scipy.special.logsumexp(
             jnp.log(n_k)[:, None] + f_k[:, None] - u_kn, axis=0
         )
         log_w = -u_base - log_denom
-        log_w = log_w - jax.scipy.special.logsumexp(log_w)
-        # histogram the weights over CV bins
+        return cv_vals, log_w - jax.scipy.special.logsumexp(log_w)
+
+    def pmf(self, samples, bins):
+        """Unbiased potential of mean force over CV bins via MBAR weights."""
+        cv_vals, log_w = self.unbiased_log_weights(samples)
         bins = jnp.asarray(bins)
         which = jnp.clip(jnp.searchsorted(bins, cv_vals) - 1, 0, bins.shape[0] - 2)
         w = jnp.exp(log_w)

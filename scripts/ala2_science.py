@@ -1,0 +1,247 @@
+"""Flagship science driver: exact data -> trained spline BG -> ESS / free energy.
+
+Phased and resumable (each phase writes an artifact under artifacts/):
+
+  phase data   — HMC + replica-exchange exact-Boltzmann ala2 ensemble
+  phase train  — NLL pretrain + mixed NLL/KL annealing on the spline BG
+  phase eval   — ESS, log-weight stats, phi-basin occupancy, basin dF via
+                 BG reweighting vs umbrella+MBAR
+
+Run on the TPU (ambient env):  python scripts/ala2_science.py <phase>
+"""
+import json
+import os
+import sys
+import time
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+ART = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "artifacts")
+os.makedirs(ART, exist_ok=True)
+
+DATA_PATH = os.path.join(ART, "ala2_exact_data.npz")
+PARAMS_PATH = os.path.join(ART, "ala2_params.npz")
+RESULTS_PATH = os.path.join(ART, "ala2_science.json")
+
+
+def phi_psi(frames):
+    from bgflow_tpu.ops.ic import torsion
+
+    x = frames.reshape(-1, 22, 3)
+    phi = torsion(x[:, 4], x[:, 6], x[:, 8], x[:, 14], 1e-7)
+    psi = torsion(x[:, 6], x[:, 8], x[:, 14], x[:, 16], 1e-7)
+    return phi, psi
+
+
+def gen_data(n_samples=131072, n_ladders=256, seed=0):
+    from bgflow_tpu.models.ala2 import generate_ala2_data_exact
+
+    t0 = time.time()
+    data = generate_ala2_data_exact(
+        jax.random.PRNGKey(seed),
+        n_samples=n_samples,
+        n_ladders=n_ladders,
+        temperatures=(1.0, 1.6, 2.56, 4.1),
+        step_size=2.5e-3,
+        n_leapfrog=20,
+        n_burnin=1500,
+        stride=10,
+    )
+    data = np.asarray(data)
+    phi, psi = phi_psi(jnp.asarray(data))
+    pos = float(jnp.mean(phi > 0.2))
+    print(f"data: {data.shape} in {time.time()-t0:.0f}s; phi>0 frac {pos:.4f}")
+    np.savez_compressed(DATA_PATH, data=data)
+    return data
+
+
+def train(n_pretrain=6000, n_anneal=30000, seed=1, batch=1024):
+    import optax
+    from bgflow_tpu.models.ala2 import make_ala2_generator
+    from bgflow_tpu.training.trainers import KLTrainer
+    from bgflow_tpu.samplers.dataset import DataSetSampler
+    import bgflow_tpu as bg
+
+    raw = np.load(DATA_PATH)["data"]
+    n_test = 8192
+    data, test = raw[:-n_test], raw[-n_test:]
+    gen = make_ala2_generator(
+        data, hidden=(128, 128), num_bins=8, keepdims=9, use_pallas_spline=True
+    )
+    key = jax.random.PRNGKey(seed)
+    params = gen.init(key)
+    ds = DataSetSampler(jnp.asarray(data))
+
+    # ---- NLL pretraining with cosine LR
+    trainer = KLTrainer(
+        gen,
+        optimizer=optax.adam(optax.cosine_decay_schedule(1e-3, n_pretrain, 1e-2)),
+        train_energy=False,
+    )
+    t0 = time.time()
+    params, opt_state, rep = trainer.train(
+        params, key, n_pretrain, data=ds, batchsize=batch,
+        test_data=test, test_interval=1000, progress_interval=1000,
+    )
+    print(f"pretrain {n_pretrain} it in {time.time()-t0:.0f}s")
+
+    # ---- mixed annealing: ramp KL weight in, lower LR
+    trainer2 = KLTrainer(
+        gen,
+        optimizer=optax.adam(optax.cosine_decay_schedule(2e-4, n_anneal, 1e-2)),
+    )
+    w_energy = optax.linear_schedule(0.0, 1.0, transition_steps=n_anneal // 2)
+    t0 = time.time()
+    params, _, rep2 = trainer2.train(
+        params, jax.random.fold_in(key, 1), n_anneal, data=ds, batchsize=batch,
+        n_kl_samples=batch, w_energy=w_energy,
+        test_data=test, test_interval=2000, progress_interval=2000,
+    )
+    print(f"anneal {n_anneal} it in {time.time()-t0:.0f}s")
+
+    from bgflow_tpu.utils.checkpoint import save_checkpoint
+
+    save_checkpoint(os.path.join(ART, "ala2_ckpt"), n_pretrain + n_anneal, params)
+    print("saved params")
+    return params
+
+
+def _load_params(gen):
+    from bgflow_tpu.utils.checkpoint import restore_checkpoint
+
+    template = gen.init(jax.random.PRNGKey(0))
+    return restore_checkpoint(os.path.join(ART, "ala2_ckpt"), template=template)
+
+
+def evaluate(n_eval=100_000, seed=2):
+    import bgflow_tpu as bg
+    from bgflow_tpu.models.ala2 import make_ala2_generator
+
+    raw = np.load(DATA_PATH)["data"]
+    data = raw[:-8192]
+    gen = make_ala2_generator(
+        data, hidden=(128, 128), num_bins=8, keepdims=9, use_pallas_spline=True
+    )
+    params = _load_params(gen)
+    key = jax.random.PRNGKey(seed)
+
+    out = gen.sample(params, key, n_eval, with_log_weights=True)
+    logw = out.log_weights
+    finite = jnp.isfinite(logw)
+    ess = float(bg.effective_sample_size(logw))
+    eff = ess / n_eval
+    x = out.xs[0]
+    phi, psi = phi_psi(x)
+    phi_d, _ = phi_psi(jnp.asarray(data))
+
+    # basin split at phi = 0.2 rad (between C7eq/alphaR at phi<0 and C7ax)
+    def basin_stats(phi_arr, logw_arr=None):
+        pos = phi_arr > 0.2
+        if logw_arr is None:
+            return float(jnp.mean(pos))
+        # importance-weighted occupancy
+        w = jnp.exp(logw_arr - jnp.max(logw_arr))
+        return float(jnp.sum(w * pos) / jnp.sum(w))
+
+    results = {
+        "n_eval": n_eval,
+        "ess": ess,
+        "sampling_efficiency_pct": 100.0 * eff,
+        "logw_std": float(jnp.std(logw[finite])),
+        "frac_nonfinite_logw": float(1.0 - jnp.mean(finite)),
+        "phi_pos_frac_model": basin_stats(phi),
+        "phi_pos_frac_model_reweighted": basin_stats(phi, logw),
+        "phi_pos_frac_data": basin_stats(phi_d),
+        "mean_energy_model_samples": float(jnp.mean(gen.target.energy(x[:20000]))),
+    }
+    # basin free-energy difference from reweighted BG samples
+    w = jnp.exp(logw - jnp.max(logw))
+    p_pos = float(jnp.sum(w * (phi > 0.2)) / jnp.sum(w))
+    if 0 < p_pos < 1:
+        results["dF_basins_bg_kt"] = float(np.log(p_pos / (1 - p_pos)))
+    print(json.dumps(results, indent=1))
+    with open(RESULTS_PATH, "w") as fh:
+        json.dump(results, fh, indent=1)
+    return results
+
+
+def umbrella(n_iterations=600, n_windows=24, k_umbrella=50.0, seed=3):
+    """phi-basin dF via umbrella sampling + MBAR (the BG-independent
+    reference estimate the reweighted BG must match)."""
+    from bgflow_tpu.energies.ala2 import ALA2_REFERENCE_XYZ, build_ala2_forcefield
+    from bgflow_tpu.models.ala2 import ALA2_MASSES
+    from bgflow_tpu.ops.ic import torsion
+    from bgflow_tpu.samplers.umbrella import UmbrellaSampling
+
+    ff = build_ala2_forcefield()
+
+    def cv(x):
+        p = x.reshape(-1, 22, 3)
+        return torsion(p[:, 4], p[:, 6], p[:, 8], p[:, 14], 1e-7)
+
+    centers = jnp.linspace(-np.pi, np.pi, n_windows, endpoint=False)
+    masses = jnp.asarray(np.repeat(ALA2_MASSES, 3) / ALA2_MASSES.min())
+    us = UmbrellaSampling(
+        ff, cv, centers, k_umbrella=k_umbrella, cv_period=2 * np.pi,
+        mover="hmc", hmc_step_size=2e-3, hmc_leapfrog=10, masses=masses,
+        stride=10, n_burnin=400,
+    )
+    if os.path.exists(DATA_PATH):
+        # seed each window with the exact-ensemble frame nearest its center:
+        # windows then start equilibrated in the orthogonal (psi etc.) dofs
+        frames = jnp.asarray(np.load(DATA_PATH)["data"])
+        phis = cv(frames)
+        d = jnp.abs(jnp.mod(phis[None, :] - centers[:, None] + np.pi, 2 * np.pi) - np.pi)
+        x0 = frames[jnp.argmin(d, axis=1)]
+    else:
+        x0 = jnp.repeat(
+            jnp.asarray(ALA2_REFERENCE_XYZ, dtype=jnp.float32).reshape(1, -1),
+            n_windows, axis=0,
+        )
+    t0 = time.time()
+    samples = us.run(jax.random.PRNGKey(seed), x0, n_iterations)
+    print(f"umbrella: {samples.shape} in {time.time()-t0:.0f}s")
+
+    def basin_df(block):
+        cv_vals, log_w = us.unbiased_log_weights(block)
+        w = jnp.exp(log_w - jnp.max(log_w))
+        p = jnp.sum(w * (cv_vals > 0.2)) / jnp.sum(w)
+        return float(jnp.log(p / (1 - p)))
+
+    df_full = basin_df(samples)
+    # block uncertainty over the iteration axis
+    n_blocks = 5
+    size = samples.shape[0] // n_blocks
+    dfs = [basin_df(samples[i * size : (i + 1) * size]) for i in range(n_blocks)]
+    err = float(np.std(dfs) / np.sqrt(n_blocks))
+    out = {
+        "dF_basins_umbrella_kt": df_full,
+        "dF_umbrella_err_kt": err,
+        "dF_blocks": dfs,
+        "window_cv_coverage": [float(c) for c in np.percentile(
+            np.asarray(us.cv(samples.reshape(-1, 66))), [0, 5, 50, 95, 100])],
+    }
+    print(json.dumps(out, indent=1))
+    existing = {}
+    if os.path.exists(RESULTS_PATH):
+        existing = json.load(open(RESULTS_PATH))
+    existing.update(out)
+    with open(RESULTS_PATH, "w") as fh:
+        json.dump(existing, fh, indent=1)
+    return out
+
+
+if __name__ == "__main__":
+    phase = sys.argv[1] if len(sys.argv) > 1 else "all"
+    if phase in ("data", "all"):
+        gen_data()
+    if phase in ("train", "all"):
+        train()
+    if phase in ("eval", "all"):
+        evaluate()
+    if phase in ("umbrella", "all"):
+        umbrella()

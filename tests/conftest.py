@@ -21,6 +21,11 @@ import jax
 # jax.config wins as long as no backend has been initialized yet.
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
+# persistent compilation cache: the suite is compile-bound on CPU, and
+# repeat runs hit the cache (first run pays, iteration is fast)
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_test_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
 
 import jax.numpy as jnp
 import numpy as np

@@ -179,3 +179,46 @@ def test_bridge_energy_roundtrip(key):
     # works under jit as well
     e_jit = jax.jit(bridge.energy)(x)
     assert_close(e_jit, e, 1e-6)
+
+
+def test_hmc_samples_gaussian_exactly(key):
+    """HMC on a standard normal: moments match to MC error even at a large
+    step size (the Metropolis correction removes discretization bias)."""
+    target = bg.NormalDistribution(3)
+    x0 = jnp.zeros((256, 3))
+    hmc = bg.HMCStep(target, step_size=0.5, n_leapfrog=8)
+    sampler = bg.IterativeSampler(SamplerState(samples=(x0,)), [hmc], n_burnin=50)
+    frames = sampler.sample(jax.random.PRNGKey(0), 200)  # (200, 256, 3)
+    xs = frames.reshape(-1, 3)
+    assert float(jnp.abs(jnp.mean(xs))) < 0.02
+    assert abs(float(jnp.var(xs)) - 1.0) < 0.05
+
+
+def test_hmc_per_chain_temperatures(key):
+    """Chains at temperature T sample variance T on a Gaussian."""
+    target = bg.NormalDistribution(2)
+    temps = jnp.tile(jnp.asarray([1.0, 4.0]), 128)
+    x0 = jnp.zeros((256, 2))
+    hmc = bg.HMCStep(target, step_size=0.4, n_leapfrog=8, target_temperatures=temps)
+    sampler = bg.IterativeSampler(SamplerState(samples=(x0,)), [hmc], n_burnin=50)
+    frames = sampler.sample(jax.random.PRNGKey(1), 150)
+    cold = frames[:, 0::2].reshape(-1, 2)
+    hot = frames[:, 1::2].reshape(-1, 2)
+    assert abs(float(jnp.var(cold)) - 1.0) < 0.08
+    assert abs(float(jnp.var(hot)) - 4.0) < 0.7
+
+
+def test_hmc_rejects_nonfinite(key):
+    class BadEnergy(bg.Energy):
+        def __init__(self):
+            super().__init__(2)
+
+        def _energy(self, x):
+            return jnp.where(jnp.abs(x[:, 0]) > 0.0, jnp.inf, 0.0)
+
+    x0 = jnp.zeros((4, 2))
+    hmc = bg.HMCStep(BadEnergy(), step_size=0.1, n_leapfrog=2)
+    state = SamplerState(samples=(x0,))
+    new = hmc.step(state, key)
+    # all proposals land at infinite energy -> everything rejected
+    assert bool(jnp.all(new.samples[0] == 0.0))

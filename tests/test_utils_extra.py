@@ -72,3 +72,20 @@ def test_conditional_circular_transform(key):
     (_, y2), ldj_inv = flow.forward(params, (cond, z), inverse=True)
     assert_close(y, y2, 1e-4)
     assert_close(ldj, -ldj_inv, 1e-3)
+
+
+def test_dcd_roundtrip(tmp_path):
+    from bgflow_tpu.utils.trajectory import read_dcd_trajectory, save_dcd_trajectory
+
+    rng = np.random.RandomState(0)
+    frames = rng.randn(5, 22, 3).astype(np.float32) * 0.1
+    path = str(tmp_path / "traj.dcd")
+    save_dcd_trajectory(path, frames)
+    back = read_dcd_trajectory(path)
+    np.testing.assert_allclose(back, frames, atol=1e-6)
+    # header sanity: CORD magic + frame count
+    import struct
+    with open(path, "rb") as fh:
+        fh.read(4)
+        assert fh.read(4) == b"CORD"
+        assert struct.unpack("<i", fh.read(4))[0] == 5
