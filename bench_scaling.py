@@ -21,7 +21,9 @@ import bgflow_tpu as bg
 from bgflow_tpu.parallel.mesh import make_mesh
 from bench import make_flagship
 
-PER_DEVICE_BATCH = 65536
+# virtual CPU devices validate mechanics, not speed — keep the batch small
+# there so the sweep finishes quickly; use the full batch on real chips
+PER_DEVICE_BATCH = 65536 if jax.default_backend() == "tpu" else 8192
 
 
 def measure(n_devices: int, params, gen, key):
@@ -47,6 +49,14 @@ def measure(n_devices: int, params, gen, key):
 
 
 def main():
+    backend = jax.default_backend()
+    if backend != "tpu":
+        print(json.dumps({
+            "backend": f"{backend}-virtual-{len(jax.devices())}dev",
+            "note": ("virtual devices share one physical host: aggregate "
+                     "throughput validates sharding mechanics; per-device "
+                     "efficiency is only meaningful on a real pod slice"),
+        }))
     key = jax.random.PRNGKey(0)
     # affine path: on virtual CPU devices the Pallas kernels would run in
     # the (slow) interpreter; sharding mechanics are identical

@@ -97,3 +97,46 @@ def test_timer_and_scope(key):
             x = jnp.sum(jax.random.normal(key, (100, 100)) ** 2)
     assert t.elapsed is not None and t.elapsed > 0
     assert jnp.isfinite(x)
+
+
+@pytest.mark.slow
+def test_ala2_phi_umbrella_pmf():
+    """Scaled-down ala2 phi umbrella workflow: periodic windows + HMC moves
+    + MBAR give a finite PMF with its minimum in the C7eq/alphaR region
+    (phi < 0) — the free-energy route examples/free_energy_ala2.py runs at
+    full size."""
+    import numpy as np
+    from bgflow_tpu.energies.ala2 import ALA2_REFERENCE_XYZ, build_ala2_forcefield
+    from bgflow_tpu.models.ala2 import ALA2_MASSES
+    from bgflow_tpu.ops.ic import torsion
+    from bgflow_tpu.samplers.umbrella import UmbrellaSampling
+
+    ff = build_ala2_forcefield()
+
+    def cv(x):
+        p = x.reshape(-1, 22, 3)
+        return torsion(p[:, 4], p[:, 6], p[:, 8], p[:, 14], 1e-7)
+
+    n_windows = 8
+    centers = jnp.linspace(-np.pi, np.pi, n_windows, endpoint=False)
+    masses = jnp.asarray(np.repeat(ALA2_MASSES, 3) / ALA2_MASSES.min())
+    us = UmbrellaSampling(
+        ff, cv, centers, k_umbrella=50.0, cv_period=2 * np.pi,
+        mover="hmc", hmc_step_size=2e-3, hmc_leapfrog=5, masses=masses,
+        stride=2, n_burnin=150,
+    )
+    x0 = jnp.repeat(
+        jnp.asarray(ALA2_REFERENCE_XYZ, dtype=jnp.float32).reshape(1, -1),
+        n_windows, axis=0,
+    )
+    samples = us.run(jax.random.PRNGKey(0), x0, 50)
+    # windows actually track their centers (periodic bias works)
+    cv_win = np.asarray(cv(samples[-1]))
+    d = np.abs(np.mod(cv_win - np.asarray(centers) + np.pi, 2 * np.pi) - np.pi)
+    assert np.median(d) < 0.6
+    bins = jnp.linspace(-np.pi, np.pi, 13)
+    pmf = np.asarray(us.pmf(samples, bins))
+    pmf = pmf - pmf.min()
+    assert np.all(np.isfinite(pmf))
+    mids = np.asarray(0.5 * (bins[1:] + bins[:-1]))
+    assert mids[int(np.argmin(pmf))] < 0.0  # minimum in the phi<0 basins
