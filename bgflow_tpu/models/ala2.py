@@ -109,7 +109,7 @@ def generate_ala2_data_exact(
     """
     from ..ops.geometry import kabsch_align
     from ..parallel.tempering import ReplicaExchangeStep
-    from ..samplers.iterative import IterativeSampler, SamplerState
+    from ..samplers.iterative import SamplerState
     from ..samplers.mcmc import HMCStep
 
     temps = jnp.asarray(temperatures, dtype=dtype)
@@ -121,9 +121,13 @@ def generate_ala2_data_exact(
     x0 = jnp.asarray(ALA2_REFERENCE_XYZ, dtype=dtype).reshape(1, -1)
     x0 = jnp.repeat(x0, n_ladders * k, axis=0)
 
-    # the stride lives in HMCStep.n_steps (a lax.scan) rather than the
-    # sampler's stride (a Python unroll): one compiled body instead of
-    # `stride` copies — compile time matters through the TPU tunnel
+    # Compile ONE iteration body (stride HMC sweeps as a lax.scan inside
+    # HMCStep.n_steps, then one exchange) and Python-loop the dispatches.
+    # Programs containing force-gradient scan bodies compile slowly on the
+    # remote-compile TPU path (~minutes per body copy); a monolithic
+    # whole-trajectory scan would pay that several times over, while the
+    # per-call dispatch overhead of this loop is negligible against the
+    # device work per call.
     hmc = HMCStep(
         ff,
         step_size=step_size,
@@ -133,20 +137,38 @@ def generate_ala2_data_exact(
         n_steps=stride,
     )
     rex = ReplicaExchangeStep(ff, temps)
-    sampler = IterativeSampler(
-        SamplerState(samples=(x0,)), [hmc, rex], n_burnin=n_burnin
+
+    @jax.jit
+    def one_iteration(state, key):
+        k1, k2 = jax.random.split(key)
+        state = hmc.step(state, k1)
+        return rex.step(state, k2)
+
+    state = SamplerState(
+        samples=(x0,),
+        energies=ff.energy(x0),
+        step_count=jnp.zeros((), dtype=jnp.int32),
     )
+    for i in range(n_burnin):
+        key, sub = jax.random.split(key)
+        state = one_iteration(state, sub)
     n_iter = -(-n_samples // n_ladders)  # frames per ladder
-    frames = sampler.sample(key, n_iter)  # (n_iter, B, 66)
-    cold = frames[:, 0::k].reshape(-1, 66)[:n_samples]
+    collected = []
+    for i in range(n_iter):
+        key, sub = jax.random.split(key)
+        state = one_iteration(state, sub)
+        collected.append(np.asarray(state.samples[0][0::k]))  # T=1 rungs
+    cold = np.concatenate(collected, axis=0)[:n_samples]
     if align:
-        aligned = kabsch_align(
-            cold.reshape(-1, 22, 3),
-            jnp.asarray(ALA2_REFERENCE_XYZ, dtype=dtype),
-            atoms=ALA2_FIXED_ATOMS,
-        )
-        cold = aligned.reshape(-1, 66)
-    return cold
+        ref = jnp.asarray(ALA2_REFERENCE_XYZ, dtype=dtype)
+        # chunked: XLA's batched 3x3 SVD custom call overflows scoped VMEM
+        # beyond ~100k rows on TPU
+        out = []
+        for i in range(0, cold.shape[0], 16384):
+            chunk = jnp.asarray(cold[i : i + 16384]).reshape(-1, 22, 3)
+            out.append(np.asarray(kabsch_align(chunk, ref, atoms=ALA2_FIXED_ATOMS)))
+        cold = np.concatenate(out, axis=0).reshape(-1, 66)
+    return jnp.asarray(cold)
 
 
 def make_ala2_generator(
@@ -160,6 +182,7 @@ def make_ala2_generator(
     fixed_scale: float = 3.0,
     use_pallas_spline: bool = False,
     marginals_from: str = "data",
+    implicit_solvent: bool = False,
     architecture=(
         (TORSIONS, FIXED),
         (FIXED, TORSIONS),
@@ -174,7 +197,9 @@ def make_ala2_generator(
     crd = MixedCoordinateTransformation(
         data, ALA2_Z_MATRIX, ALA2_FIXED_ATOMS, keepdims=keepdims
     )
-    ff = build_ala2_forcefield(temperature=temperature)
+    ff = build_ala2_forcefield(
+        temperature=temperature, implicit_solvent=implicit_solvent
+    )
     target = LinLogCutEnergy(ff, high_energy=high_energy, max_energy=max_energy)
     shape_info = ShapeDictionary.from_coordinate_transform(crd)
     builder = BoltzmannGeneratorBuilder(shape_info, target=target)

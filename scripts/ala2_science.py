@@ -37,24 +37,33 @@ def phi_psi(frames):
     return phi, psi
 
 
-def gen_data(n_samples=131072, n_ladders=256, seed=0):
+def gen_data(n_samples=131072, n_ladders=128, seed=0):
     from bgflow_tpu.models.ala2 import generate_ala2_data_exact
 
+    print("gen_data: starting", flush=True)
     t0 = time.time()
+    # ladder spacing ~1.2x: for ~60 effective dof the exchange acceptance
+    # collapses beyond 1 + sqrt(2/D) ~ 1.18 spacing (a 1.6x ladder swapped
+    # essentially never and the cold rungs stayed kinetically trapped)
     data = generate_ala2_data_exact(
         jax.random.PRNGKey(seed),
         n_samples=n_samples,
         n_ladders=n_ladders,
-        temperatures=(1.0, 1.6, 2.56, 4.1),
+        temperatures=tuple(1.2**i for i in range(8)),
         step_size=2.5e-3,
         n_leapfrog=20,
-        n_burnin=1500,
+        n_burnin=400,
         stride=10,
     )
     data = np.asarray(data)
     phi, psi = phi_psi(jnp.asarray(data))
-    pos = float(jnp.mean(phi > 0.2))
-    print(f"data: {data.shape} in {time.time()-t0:.0f}s; phi>0 frac {pos:.4f}")
+    stats = {
+        "phi_pos_frac": float(jnp.mean(phi > 0.2)),
+        "phi_deg_pcts": [float(v) for v in np.percentile(np.degrees(np.asarray(phi)), [1, 25, 50, 75, 99])],
+        "psi_deg_pcts": [float(v) for v in np.percentile(np.degrees(np.asarray(psi)), [1, 25, 50, 75, 99])],
+        "psi_upper_frac": float(jnp.mean((psi > 0.7) & (psi < 2.97))),
+    }
+    print(f"data: {data.shape} in {time.time()-t0:.0f}s; {json.dumps(stats)}", flush=True)
     np.savez_compressed(DATA_PATH, data=data)
     return data
 

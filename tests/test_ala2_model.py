@@ -50,3 +50,22 @@ def test_ala2_mixed_training_improves_nll(model):
         assert not bool(metrics["skipped"])
     nll_after = float(jnp.mean(gen.energy(params, model.data[:256])))
     assert nll_after < nll_before
+
+
+@pytest.mark.slow
+def test_exact_data_generation_runs():
+    """HMC + replica-exchange data generator: finite, aligned, reasonable
+    energies (scaled down; the full run is scripts/ala2_science.py)."""
+    from bgflow_tpu.models.ala2 import generate_ala2_data_exact
+    from bgflow_tpu.energies.ala2 import build_ala2_forcefield
+
+    data = generate_ala2_data_exact(
+        jax.random.PRNGKey(0), n_samples=512, n_ladders=16,
+        n_burnin=40, stride=4, n_leapfrog=10, step_size=2.5e-3,
+    )
+    assert data.shape == (512, 66)
+    assert bool(jnp.all(jnp.isfinite(data)))
+    u = build_ala2_forcefield().energy(data)
+    # equilibrated vacuum ala2 sits at tens of negative kT
+    assert float(jnp.median(u)) < 10.0
+    assert float(jnp.max(u)) < 100.0

@@ -12,6 +12,7 @@ from bgflow_tpu.energies.gbsa import (
     gbsa_energy,
 )
 from bgflow_tpu.energies.ala2 import build_ala2_forcefield, ALA2_REFERENCE_XYZ
+import bgflow_tpu as bg
 from tests.conftest import assert_close
 
 
@@ -99,3 +100,30 @@ def test_ala2_with_implicit_solvent(key):
     xs = x + 0.005 * jax.random.normal(key, (8, 66))
     u = ff_gb.energy(xs)
     assert u.shape == (8,) and jnp.all(jnp.isfinite(u))
+
+
+@pytest.mark.slow
+def test_ala2_implicit_solvent_flagship_trains(key):
+    """GBSA in the end-to-end flagship: build the spline BG against the
+    implicit-solvent target and take mixed NLL/KL training steps (reverse-KL
+    gradients flow through the Born-radius kernel)."""
+    import numpy as np
+    from bgflow_tpu.models.ala2 import generate_ala2_data, make_ala2_generator
+
+    data = generate_ala2_data(key, n_samples=256, n_chains=16, n_equilibration=200)
+    gen = make_ala2_generator(
+        np.asarray(data), hidden=(16,), num_bins=4, implicit_solvent=True
+    )
+    params = gen.init(jax.random.PRNGKey(1))
+    trainer = bg.KLTrainer(gen)
+    step = trainer.make_train_step(batchsize_likelihood=64, batchsize_energy=64)
+    opt_state = trainer.init(params)
+    d = jnp.asarray(data)
+    losses = []
+    for i in range(8):
+        k1, k2 = jax.random.split(jax.random.fold_in(key, i))
+        idx = jax.random.randint(k1, (64,), 0, d.shape[0])
+        params, opt_state, m = step(params, opt_state, k2, (d[idx],))
+        losses.append(float(m["loss"]))
+        assert not bool(m["skipped"])
+    assert all(np.isfinite(l) for l in losses)
