@@ -81,6 +81,13 @@ from .energies.forcefield import (
     enumerate_torsions,
     exclusion_scales,
 )
+from .energies.neighborlist import (
+    CellGrid,
+    CutoffNonbondedEnergy,
+    CutoffNonbondedTerms,
+    exclusions_from_bonds,
+    make_cell_grid,
+)
 from .energies.ala2 import build_ala2_forcefield
 from .energies.importers import (
     forcefield_from_openmm_system_xml,
