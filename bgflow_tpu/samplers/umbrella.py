@@ -25,12 +25,19 @@ def _cv_displacement(c, centers, period):
     d = c - centers
     if period is None:
         return d
-    # minimum-image displacement for periodic CVs (torsions)
+    # minimum-image displacement for periodic CVs (torsions); ``period`` may
+    # be a scalar or a per-dimension array for vector CVs
+    period = jnp.asarray(period)
     return jnp.mod(d + 0.5 * period, period) - 0.5 * period
 
 
 class BiasedEnergy(Energy):
-    """u(x) + 0.5 k d(cv(x), center_b)^2 with per-batch-element centers.
+    """u(x) + 0.5 k |d(cv(x), center_b)|^2 with per-batch-element centers.
+
+    Scalar CVs use ``cv(x) -> (B,)`` and ``centers`` of shape ``(K,)``;
+    vector CVs (e.g. 2D (phi, psi) umbrellas) use ``cv(x) -> (B, D)`` and
+    ``centers`` of shape ``(K, D)`` — the bias is then the sum of
+    per-dimension harmonic terms (``k_umbrella`` may be scalar or ``(D,)``).
 
     ``cv_period`` makes the bias distance periodic (e.g. 2*pi for a
     dihedral CV) — without it an umbrella at phi = pi would pull chains the
@@ -48,7 +55,10 @@ class BiasedEnergy(Energy):
 
     def bias(self, *xs):
         d = _cv_displacement(self.cv(*xs), self.centers, self.cv_period)
-        return 0.5 * self.k_umbrella * d**2
+        b = 0.5 * self.k_umbrella * d**2
+        if self.centers.ndim > 1:
+            b = jnp.sum(b, axis=-1)
+        return b
 
     def _energy(self, *xs):
         return self.base.energy(*xs) + self.bias(*xs)
@@ -102,33 +112,39 @@ class UmbrellaSampling:
         )
         return sampler.sample(key, n_iterations)
 
+    def _bias_matrix(self, cv_vals):
+        """(K, N) umbrella bias of every pooled sample in every window."""
+        if self.centers.ndim > 1:
+            d = _cv_displacement(
+                cv_vals[None, :, :], self.centers[:, None, :], self.cv_period
+            )
+            return jnp.sum(0.5 * self.k_umbrella * d**2, axis=-1)
+        d = _cv_displacement(cv_vals[None, :], self.centers[:, None], self.cv_period)
+        return 0.5 * self.k_umbrella * d**2
+
     def free_energies(self, samples):
         """MBAR window free energies from (n_iter, K, ...) samples.
 
-        Returns (f_k (K,), cv_values (n_iter, K)).
+        Returns (f_k (K,), cv_values (n_iter, K) or (n_iter, K, D)).
         """
         n_iter, k = samples.shape[0], samples.shape[1]
         flat = samples.reshape(n_iter * k, *samples.shape[2:])
         u_base = self.energy.energy(flat)  # (N,)
-        cv_vals = self.cv(flat)  # (N,)
+        cv_vals = self.cv(flat)  # (N,) or (N, D)
         # biased energies of all pooled samples in every window
-        u_kn = u_base[None, :] + 0.5 * self.k_umbrella * _cv_displacement(
-            cv_vals[None, :], self.centers[:, None], self.cv_period
-        ) ** 2
+        u_kn = u_base[None, :] + self._bias_matrix(cv_vals)
         n_k = jnp.full(k, n_iter)
         f_k = mbar(u_kn, n_k)
-        return f_k, cv_vals.reshape(n_iter, k)
+        return f_k, cv_vals.reshape(n_iter, k, *cv_vals.shape[1:])
 
     def unbiased_log_weights(self, samples):
         """Normalized MBAR log-weights of every pooled sample in the
-        UNBIASED state; returns (cv_values (N,), log_w (N,))."""
+        UNBIASED state; returns (cv_values (N,) or (N, D), log_w (N,))."""
         n_iter, k = samples.shape[0], samples.shape[1]
         flat = samples.reshape(n_iter * k, *samples.shape[2:])
         u_base = self.energy.energy(flat)
         cv_vals = self.cv(flat)
-        u_kn = u_base[None, :] + 0.5 * self.k_umbrella * _cv_displacement(
-            cv_vals[None, :], self.centers[:, None], self.cv_period
-        ) ** 2
+        u_kn = u_base[None, :] + self._bias_matrix(cv_vals)
         n_k = jnp.full(k, n_iter)
         f_k = mbar(u_kn, n_k)
         log_denom = jax.scipy.special.logsumexp(
@@ -144,4 +160,16 @@ class UmbrellaSampling:
         which = jnp.clip(jnp.searchsorted(bins, cv_vals) - 1, 0, bins.shape[0] - 2)
         w = jnp.exp(log_w)
         hist = jnp.zeros(bins.shape[0] - 1).at[which].add(w)
+        return -jnp.log(jnp.maximum(hist, 1e-300))
+
+    def pmf2d(self, samples, bins_x, bins_y):
+        """2D PMF surface over a vector CV (e.g. the (phi, psi) Ramachandran
+        map); returns a ``(len(bins_x)-1, len(bins_y)-1)`` free-energy grid."""
+        cv_vals, log_w = self.unbiased_log_weights(samples)
+        bins_x = jnp.asarray(bins_x)
+        bins_y = jnp.asarray(bins_y)
+        ix = jnp.clip(jnp.searchsorted(bins_x, cv_vals[:, 0]) - 1, 0, bins_x.shape[0] - 2)
+        iy = jnp.clip(jnp.searchsorted(bins_y, cv_vals[:, 1]) - 1, 0, bins_y.shape[0] - 2)
+        w = jnp.exp(log_w)
+        hist = jnp.zeros((bins_x.shape[0] - 1, bins_y.shape[0] - 1)).at[ix, iy].add(w)
         return -jnp.log(jnp.maximum(hist, 1e-300))
