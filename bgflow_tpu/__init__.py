@@ -139,6 +139,7 @@ from .transformers.gaussian import (
 )
 
 from .samplers.umbrella import UmbrellaSampling, BiasedEnergy
+from .samplers.metadynamics import Metadynamics, MetadynamicsStep
 from .utils.free_energy import bennett_acceptance_ratio, mbar, one_sided_reweighting
 from .utils.checkpoint import save_checkpoint, restore_checkpoint, latest_step
 from .utils.profiling import Timer, trace, scope

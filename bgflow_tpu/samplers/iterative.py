@@ -31,6 +31,10 @@ class SamplerState(NamedTuple):
     # scalar step counter, materialized lazily by steps that need state that
     # must survive lax.scan tracing (e.g. replica-exchange parity)
     step_count: Optional[jax.Array] = None
+    # open-ended per-step auxiliary carry (a dict pytree keyed by step), for
+    # state that must evolve across scan iterations but is not per-chain —
+    # e.g. the metadynamics bias grid.  Lazily materialized like step_count.
+    aux: Optional[dict] = None
 
     def replace(self, **kwargs) -> "SamplerState":
         return self._replace(**kwargs)
