@@ -170,6 +170,7 @@ from .utils.autograd import brute_force_jacobian, brute_force_jacobian_trace, ba
 from .flows.circular import CircularTransform, ConditionalCircularTransform
 from .utils.permutation import HungarianMapper
 from .utils.trajectory import save_pdb_trajectory, save_xyz_trajectory, NumpyReporter
+from .utils.serving import export_sampler, export_energy, save_exported, load_exported
 from .nets.gnn import InvariantGNN, GNNConditioner
 
 __version__ = "0.1.0"

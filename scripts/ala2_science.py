@@ -73,7 +73,9 @@ def train(n_pretrain=6000, n_anneal=30000, seed=1, batch=1024):
     from bgflow_tpu.models.ala2 import make_ala2_generator
     from bgflow_tpu.training.trainers import KLTrainer
     from bgflow_tpu.samplers.dataset import DataSetSampler
-    import bgflow_tpu as bg
+    from bgflow_tpu.utils.checkpoint import (
+        latest_step, restore_checkpoint, save_checkpoint,
+    )
 
     raw = np.load(DATA_PATH)["data"]
     n_test = 8192
@@ -84,35 +86,52 @@ def train(n_pretrain=6000, n_anneal=30000, seed=1, batch=1024):
     key = jax.random.PRNGKey(seed)
     params = gen.init(key)
     ds = DataSetSampler(jnp.asarray(data))
+    pre_dir = os.path.join(ART, "ala2_pretrain_ckpt")
+    ann_dir = os.path.join(ART, "ala2_anneal_ckpt")
 
-    # ---- NLL pretraining with cosine LR
+    # ---- NLL pretraining with cosine LR (resumable at phase granularity)
     trainer = KLTrainer(
         gen,
         optimizer=optax.adam(optax.cosine_decay_schedule(1e-3, n_pretrain, 1e-2)),
         train_energy=False,
     )
-    t0 = time.time()
-    params, opt_state, rep = trainer.train(
-        params, key, n_pretrain, data=ds, batchsize=batch,
-        test_data=test, test_interval=1000, progress_interval=1000,
-    )
-    print(f"pretrain {n_pretrain} it in {time.time()-t0:.0f}s")
+    pre_step = latest_step(pre_dir)
+    if pre_step is not None and pre_step >= n_pretrain:
+        tmpl = {"params": params, "opt_state": trainer.init(params), "step": 0}
+        params = restore_checkpoint(pre_dir, template=tmpl)["params"]
+        print(f"pretrain: reusing finished checkpoint (step {pre_step})", flush=True)
+    else:
+        t0 = time.time()
+        params, _, rep = trainer.train(
+            params, key, n_pretrain, data=ds, batchsize=batch,
+            test_data=test, test_interval=1000, progress_interval=1000,
+            checkpoint_dir=pre_dir, checkpoint_interval=2000,
+        )
+        print(f"pretrain {n_pretrain} it in {time.time()-t0:.0f}s", flush=True)
 
-    # ---- mixed annealing: ramp KL weight in, lower LR
+    # ---- mixed annealing: ramp KL weight in, lower LR (step-resumable)
     trainer2 = KLTrainer(
         gen,
         optimizer=optax.adam(optax.cosine_decay_schedule(2e-4, n_anneal, 1e-2)),
     )
     w_energy = optax.linear_schedule(0.0, 1.0, transition_steps=n_anneal // 2)
-    t0 = time.time()
-    params, _, rep2 = trainer2.train(
-        params, jax.random.fold_in(key, 1), n_anneal, data=ds, batchsize=batch,
-        n_kl_samples=batch, w_energy=w_energy,
-        test_data=test, test_interval=2000, progress_interval=2000,
-    )
-    print(f"anneal {n_anneal} it in {time.time()-t0:.0f}s")
-
-    from bgflow_tpu.utils.checkpoint import save_checkpoint
+    opt2, start = None, 0
+    ann_step = latest_step(ann_dir)
+    if ann_step:
+        tmpl = {"params": params, "opt_state": trainer2.init(params), "step": 0}
+        st = restore_checkpoint(ann_dir, template=tmpl)
+        params, opt2, start = st["params"], st["opt_state"], int(st["step"])
+        print(f"anneal: resuming from step {start}", flush=True)
+    if start < n_anneal:
+        t0 = time.time()
+        params, _, rep2 = trainer2.train(
+            params, jax.random.fold_in(key, 1 + start), n_anneal - start,
+            data=ds, opt_state=opt2, batchsize=batch,
+            n_kl_samples=batch, w_energy=w_energy,
+            test_data=test, test_interval=2000, progress_interval=2000,
+            checkpoint_dir=ann_dir, checkpoint_interval=2000, start_step=start,
+        )
+        print(f"anneal {n_anneal - start} it in {time.time()-t0:.0f}s", flush=True)
 
     save_checkpoint(os.path.join(ART, "ala2_ckpt"), n_pretrain + n_anneal, params)
     print("saved params")
