@@ -37,6 +37,27 @@ def phi_psi(frames):
     return phi, psi
 
 
+N_PMF_BINS = 36
+
+
+def pmf_phi(phi, log_w=None, n_bins=N_PMF_BINS):
+    """Weighted PMF F(phi)/kT over [-pi, pi) bins (min-shifted; NaN = empty)."""
+    phi = np.asarray(phi)
+    edges = np.linspace(-np.pi, np.pi, n_bins + 1)
+    if log_w is None:
+        w = np.ones_like(phi)
+    else:
+        log_w = np.asarray(log_w)
+        finite = np.isfinite(log_w)
+        phi, log_w = phi[finite], log_w[finite]
+        w = np.exp(log_w - log_w.max())
+    hist, _ = np.histogram(phi, bins=edges, weights=w)
+    counts, _ = np.histogram(phi, bins=edges)
+    p = hist / hist.sum()
+    f = np.where(p > 0, -np.log(np.maximum(p, 1e-300)), np.nan)
+    return f - np.nanmin(f), counts
+
+
 def gen_data(n_samples=131072, n_ladders=128, seed=0):
     from bgflow_tpu.models.ala2 import generate_ala2_data_exact
 
@@ -191,6 +212,11 @@ def evaluate(n_eval=100_000, seed=2):
     p_pos = float(jnp.sum(w * (phi > 0.2)) / jnp.sum(w))
     if 0 < p_pos < 1:
         results["dF_basins_bg_kt"] = float(np.log(p_pos / (1 - p_pos)))
+    # full F(phi) profile from reweighted BG samples (compared against the
+    # umbrella+MBAR profile by the umbrella phase)
+    f_bg, counts = pmf_phi(phi, logw)
+    results["pmf_phi_bg_kt"] = [None if np.isnan(v) else round(float(v), 4) for v in f_bg]
+    results["pmf_phi_bg_counts"] = [int(c) for c in counts]
     print(json.dumps(results, indent=1))
     with open(RESULTS_PATH, "w") as fh:
         json.dump(results, fh, indent=1)
@@ -246,13 +272,30 @@ def umbrella(n_iterations=600, n_windows=24, k_umbrella=50.0, seed=3):
     size = samples.shape[0] // n_blocks
     dfs = [basin_df(samples[i * size : (i + 1) * size]) for i in range(n_blocks)]
     err = float(np.std(dfs) / np.sqrt(n_blocks))
+    cv_all, log_w_all = us.unbiased_log_weights(samples)
+    f_umb, counts_umb = pmf_phi(cv_all, log_w_all)
     out = {
         "dF_basins_umbrella_kt": df_full,
         "dF_umbrella_err_kt": err,
         "dF_blocks": dfs,
         "window_cv_coverage": [float(c) for c in np.percentile(
             np.asarray(us.cv(samples.reshape(-1, 66))), [0, 5, 50, 95, 100])],
+        "pmf_phi_umbrella_kt": [None if np.isnan(v) else round(float(v), 4) for v in f_umb],
     }
+    # PMF agreement vs the BG-reweighted profile, if the eval phase ran
+    existing_now = json.load(open(RESULTS_PATH)) if os.path.exists(RESULTS_PATH) else {}
+    if "pmf_phi_bg_kt" in existing_now:
+        f_bg = np.array([np.nan if v is None else v for v in existing_now["pmf_phi_bg_kt"]])
+        n_bg = np.array(existing_now["pmf_phi_bg_counts"])
+        ok = np.isfinite(f_bg) & np.isfinite(f_umb) & (n_bg >= 50) & (counts_umb >= 50)
+        if ok.any():
+            # profiles are min-shifted independently; compare after aligning
+            # on the weighted-mean offset over the shared well bins
+            diff = f_bg[ok] - f_umb[ok]
+            diff -= diff.mean()
+            out["pmf_phi_agreement_bins"] = int(ok.sum())
+            out["pmf_phi_rmsd_kt"] = round(float(np.sqrt(np.mean(diff**2))), 4)
+            out["pmf_phi_maxdev_kt"] = round(float(np.max(np.abs(diff))), 4)
     print(json.dumps(out, indent=1))
     existing = {}
     if os.path.exists(RESULTS_PATH):
