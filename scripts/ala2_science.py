@@ -26,6 +26,8 @@ os.makedirs(ART, exist_ok=True)
 DATA_PATH = os.path.join(ART, "ala2_exact_data.npz")
 PARAMS_PATH = os.path.join(ART, "ala2_params.npz")
 RESULTS_PATH = os.path.join(ART, "ala2_science.json")
+UMBRELLA_PATH = os.path.join(ART, "ala2_umbrella.npz")
+TRAIN_DATA_PATH = os.path.join(ART, "ala2_train_data.npz")
 
 
 def phi_psi(frames):
@@ -159,6 +161,90 @@ def train(n_pretrain=6000, n_anneal=30000, seed=1, batch=1024):
     return params
 
 
+def train_augmented(n_pretrain=4000, n_anneal=24000, seed=4, batch=1024,
+                    umbrella_mass=0.3):
+    """Retrain with umbrella-window frames mixed in (weighted NLL).
+
+    The exact-Boltzmann ensemble never crosses the phi barrier, so the BG
+    gets no support in the C7ax basin.  Umbrella frames cover the full phi
+    circle; MBAR log-weights reweight them to the unbiased ensemble.  Drawing
+    NLL minibatches ∝ weight (DataSetSampler log_weights) trains the model
+    toward the true Boltzmann density *including* the rare basin at its
+    correct small population — reweighted BG estimates then see both basins.
+    """
+    import optax
+    from bgflow_tpu.models.ala2 import make_ala2_generator
+    from bgflow_tpu.training.trainers import KLTrainer
+    from bgflow_tpu.samplers.dataset import DataSetSampler
+    from bgflow_tpu.utils.checkpoint import latest_step, restore_checkpoint, save_checkpoint
+
+    raw = np.load(DATA_PATH)["data"]
+    n_test = 8192
+    data, test = raw[:-n_test], raw[-n_test:]
+    umb = np.load(UMBRELLA_PATH)
+    frames, logw = umb["frames"], umb["log_weights"]
+    X = np.concatenate([data, frames]).astype(np.float32)
+    lw = np.concatenate([
+        np.full(len(data), np.log((1.0 - umbrella_mass) / len(data))),
+        logw + np.log(umbrella_mass),
+    ]).astype(np.float32)
+    np.savez_compressed(TRAIN_DATA_PATH, data=X, log_weights=lw)
+    gen = make_ala2_generator(
+        X, hidden=(128, 128), num_bins=8, keepdims=9, use_pallas_spline=True
+    )
+    key = jax.random.PRNGKey(seed)
+    params = gen.init(key)
+    ds = DataSetSampler(jnp.asarray(X), log_weights=jnp.asarray(lw))
+    pre_dir = os.path.join(ART, "ala2_aug_pretrain_ckpt")
+    ann_dir = os.path.join(ART, "ala2_aug_anneal_ckpt")
+
+    trainer = KLTrainer(
+        gen,
+        optimizer=optax.adam(optax.cosine_decay_schedule(1e-3, n_pretrain, 1e-2)),
+        train_energy=False,
+    )
+    pre_step = latest_step(pre_dir)
+    if pre_step is not None and pre_step >= n_pretrain:
+        tmpl = {"params": params, "opt_state": trainer.init(params), "step": 0}
+        params = restore_checkpoint(pre_dir, template=tmpl)["params"]
+        print(f"aug pretrain: reusing finished checkpoint (step {pre_step})", flush=True)
+    else:
+        t0 = time.time()
+        params, _, _ = trainer.train(
+            params, key, n_pretrain, data=ds, batchsize=batch,
+            test_data=test, test_interval=1000, progress_interval=1000,
+            checkpoint_dir=pre_dir, checkpoint_interval=2000,
+        )
+        print(f"aug pretrain {n_pretrain} it in {time.time()-t0:.0f}s", flush=True)
+
+    trainer2 = KLTrainer(
+        gen,
+        optimizer=optax.adam(optax.cosine_decay_schedule(2e-4, n_anneal, 1e-2)),
+    )
+    w_energy = optax.linear_schedule(0.0, 1.0, transition_steps=n_anneal // 2)
+    opt2, start = None, 0
+    ann_step = latest_step(ann_dir)
+    if ann_step:
+        tmpl = {"params": params, "opt_state": trainer2.init(params), "step": 0}
+        st = restore_checkpoint(ann_dir, template=tmpl)
+        params, opt2, start = st["params"], st["opt_state"], int(st["step"])
+        print(f"aug anneal: resuming from step {start}", flush=True)
+    if start < n_anneal:
+        t0 = time.time()
+        params, _, _ = trainer2.train(
+            params, jax.random.fold_in(key, 1 + start), n_anneal - start,
+            data=ds, opt_state=opt2, batchsize=batch,
+            n_kl_samples=batch, w_energy=w_energy,
+            test_data=test, test_interval=2000, progress_interval=2000,
+            checkpoint_dir=ann_dir, checkpoint_interval=2000, start_step=start,
+        )
+        print(f"aug anneal {n_anneal - start} it in {time.time()-t0:.0f}s", flush=True)
+
+    save_checkpoint(os.path.join(ART, "ala2_ckpt"), 10**6 + n_pretrain + n_anneal, params)
+    print("saved params (augmented)")
+    return params
+
+
 def _load_params(gen):
     from bgflow_tpu.utils.checkpoint import restore_checkpoint
 
@@ -170,8 +256,12 @@ def evaluate(n_eval=100_000, seed=2):
     import bgflow_tpu as bg
     from bgflow_tpu.models.ala2 import make_ala2_generator
 
-    raw = np.load(DATA_PATH)["data"]
-    data = raw[:-8192]
+    if os.path.exists(TRAIN_DATA_PATH):
+        # augmented run: generator must be rebuilt from the SAME dataset the
+        # training used (PCA whitening + IC marginals are data-derived)
+        data = np.load(TRAIN_DATA_PATH)["data"]
+    else:
+        data = np.load(DATA_PATH)["data"][:-8192]
     gen = make_ala2_generator(
         data, hidden=(128, 128), num_bins=8, keepdims=9, use_pallas_spline=True
     )
@@ -259,6 +349,16 @@ def umbrella(n_iterations=600, n_windows=24, k_umbrella=50.0, seed=3):
     t0 = time.time()
     samples = us.run(jax.random.PRNGKey(seed), x0, n_iterations)
     print(f"umbrella: {samples.shape} in {time.time()-t0:.0f}s")
+    # persist frames + MBAR-unbiased log-weights: the augment phase trains
+    # the BG on these (weighted NLL via DataSetSampler log_weights) so both
+    # phi basins get support even when the unbiased ensemble never crossed
+    cv_vals, log_w = us.unbiased_log_weights(samples)
+    np.savez_compressed(
+        UMBRELLA_PATH,
+        frames=np.asarray(samples.reshape(-1, samples.shape[-1])),
+        cv=np.asarray(cv_vals),
+        log_weights=np.asarray(log_w),
+    )
 
     def basin_df(block):
         cv_vals, log_w = us.unbiased_log_weights(block)
@@ -312,7 +412,10 @@ if __name__ == "__main__":
         gen_data()
     if phase in ("train", "all"):
         train()
+    if phase == "augment":
+        train_augmented()
     if phase in ("eval", "all"):
-        evaluate()
+        n = int(sys.argv[2]) if len(sys.argv) > 2 else 100_000
+        evaluate(n_eval=n)
     if phase in ("umbrella", "all"):
         umbrella()

@@ -222,3 +222,18 @@ def test_hmc_rejects_nonfinite(key):
     new = hmc.step(state, key)
     # all proposals land at infinite energy -> everything rejected
     assert bool(jnp.all(new.samples[0] == 0.0))
+
+
+def test_dataset_sampler_weighted(key):
+    # frames 0..3; weights heavily favor frame 3
+    data = jnp.arange(4.0).reshape(4, 1)
+    lw = jnp.log(jnp.asarray([0.1, 0.1, 0.1, 0.7]))
+    ds = bg.DataSetSampler(data, log_weights=lw)
+    out = ds.sample(key, 4000)
+    frac3 = float(jnp.mean(out[:, 0] == 3.0))
+    assert abs(frac3 - 0.7) < 0.05
+    # uniform path unchanged
+    ds_u = bg.DataSetSampler(data)
+    out_u = ds_u.sample(key, 4000)
+    frac3_u = float(jnp.mean(out_u[:, 0] == 3.0))
+    assert abs(frac3_u - 0.25) < 0.05
