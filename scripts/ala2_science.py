@@ -162,15 +162,19 @@ def train(n_pretrain=6000, n_anneal=30000, seed=1, batch=1024):
 
 
 def train_augmented(n_pretrain=4000, n_anneal=24000, seed=4, batch=1024,
-                    umbrella_mass=0.3):
+                    c7ax_mass=0.03, umbrella_neg_mass=0.07):
     """Retrain with umbrella-window frames mixed in (weighted NLL).
 
-    The exact-Boltzmann ensemble never crosses the phi barrier, so the BG
-    gets no support in the C7ax basin.  Umbrella frames cover the full phi
-    circle; MBAR log-weights reweight them to the unbiased ensemble.  Drawing
-    NLL minibatches ∝ weight (DataSetSampler log_weights) trains the model
-    toward the true Boltzmann density *including* the rare basin at its
-    correct small population — reweighted BG estimates then see both basins.
+    The C7ax basin (phi > 0.2) has ~1e-5 Boltzmann weight (umbrella+MBAR:
+    dF = -11.6 kT), so a Boltzmann-faithful model would need ~1e5 samples
+    per C7ax hit — useless for estimating the basin dF by reweighting.
+    Instead we train the model on a *mixture*: (1 - a - b) exact-Boltzmann
+    data + a x C7ax-conditional ensemble + b x MBAR-unbiased umbrella
+    frames, with a = c7ax_mass a few percent.  The model then deliberately
+    OVERSAMPLES the rare basin; importance reweighting (which uses the
+    model's actual density) corrects the estimate exactly, at a ~a cost in
+    overall sampling efficiency.  Minibatches are drawn ∝ weight via
+    DataSetSampler log_weights (= weighted NLL in expectation).
     """
     import optax
     from bgflow_tpu.models.ala2 import make_ala2_generator
@@ -182,11 +186,21 @@ def train_augmented(n_pretrain=4000, n_anneal=24000, seed=4, batch=1024,
     n_test = 8192
     data, test = raw[:-n_test], raw[-n_test:]
     umb = np.load(UMBRELLA_PATH)
-    frames, logw = umb["frames"], umb["log_weights"]
-    X = np.concatenate([data, frames]).astype(np.float32)
+    frames, cv, logw = umb["frames"], umb["cv"].astype(np.float64), umb["log_weights"].astype(np.float64)
+
+    def _lse(a):
+        m = a.max()
+        return m + np.log(np.exp(a - m).sum())
+
+    pos = cv > 0.2
+    lw_pos = logw[pos] - _lse(logw[pos]) + np.log(c7ax_mass)
+    lw_neg = logw[~pos] - _lse(logw[~pos]) + np.log(umbrella_neg_mass)
+    exact_mass = 1.0 - c7ax_mass - umbrella_neg_mass
+    X = np.concatenate([data, frames[pos], frames[~pos]]).astype(np.float32)
     lw = np.concatenate([
-        np.full(len(data), np.log((1.0 - umbrella_mass) / len(data))),
-        logw + np.log(umbrella_mass),
+        np.full(len(data), np.log(exact_mass / len(data))),
+        lw_pos,
+        lw_neg,
     ]).astype(np.float32)
     np.savez_compressed(TRAIN_DATA_PATH, data=X, log_weights=lw)
     gen = make_ala2_generator(
@@ -297,11 +311,22 @@ def evaluate(n_eval=100_000, seed=2):
         "phi_pos_frac_data": basin_stats(phi_d),
         "mean_energy_model_samples": float(jnp.mean(gen.target.energy(x[:20000]))),
     }
-    # basin free-energy difference from reweighted BG samples
-    w = jnp.exp(logw - jnp.max(logw))
-    p_pos = float(jnp.sum(w * (phi > 0.2)) / jnp.sum(w))
-    if 0 < p_pos < 1:
-        results["dF_basins_bg_kt"] = float(np.log(p_pos / (1 - p_pos)))
+    # basin free-energy difference from reweighted BG samples (host f64);
+    # MC error from per-basin importance-weight ESS:
+    #   var(log ratio) ~ 1/ESS_pos + 1/ESS_neg  (self-normalized IS)
+    logw64 = np.asarray(logw, np.float64)
+    phi64 = np.asarray(phi, np.float64)
+    w64 = np.exp(logw64 - logw64.max())
+    pos = phi64 > 0.2
+    s_pos, s_neg = w64[pos].sum(), w64[~pos].sum()
+    if s_pos > 0 and s_neg > 0:
+        results["dF_basins_bg_kt"] = float(np.log(s_pos / s_neg))
+        ess_pos = s_pos**2 / max((w64[pos] ** 2).sum(), 1e-300)
+        ess_neg = s_neg**2 / max((w64[~pos] ** 2).sum(), 1e-300)
+        results["ess_basin_pos"] = float(ess_pos)
+        results["ess_basin_neg"] = float(ess_neg)
+        results["dF_bg_err_kt"] = float(np.sqrt(1.0 / ess_pos + 1.0 / ess_neg))
+        results["n_model_samples_pos"] = int(pos.sum())
     # full F(phi) profile from reweighted BG samples (compared against the
     # umbrella+MBAR profile by the umbrella phase)
     f_bg, counts = pmf_phi(phi, logw)
