@@ -161,7 +161,7 @@ def train(n_pretrain=6000, n_anneal=30000, seed=1, batch=1024):
     return params
 
 
-def train_augmented(n_pretrain=4000, n_anneal=24000, seed=4, batch=1024,
+def train_augmented(n_pretrain=12000, n_anneal=0, seed=4, batch=1024,
                     c7ax_mass=0.03, umbrella_neg_mass=0.07):
     """Retrain with umbrella-window frames mixed in (weighted NLL).
 
@@ -175,9 +175,19 @@ def train_augmented(n_pretrain=4000, n_anneal=24000, seed=4, batch=1024,
     model's actual density) corrects the estimate exactly, at a ~a cost in
     overall sampling efficiency.  Minibatches are drawn ∝ weight via
     DataSetSampler log_weights (= weighted NLL in expectation).
+
+    The umbrella frames MUST be Kabsch-aligned onto the same reference as
+    the exact data before mixing: the PCA-whitened fixed-atom channel only
+    models internal fluctuations, and unaligned poses blow it up (measured:
+    logw_std 228 and 0.0015% efficiency unaligned vs aligned parity with
+    the exact-data model).  Annealing defaults to OFF — checkpoint ESS
+    diagnostics showed the reverse-KL term mode-narrows a data-rich model
+    (16.2% -> 0.07% efficiency on the non-augmented flagship).
     """
     import optax
     from bgflow_tpu.models.ala2 import make_ala2_generator
+    from bgflow_tpu.ops.geometry import kabsch_align
+    from bgflow_tpu.energies.ala2 import ALA2_REFERENCE_XYZ, ALA2_FIXED_ATOMS
     from bgflow_tpu.training.trainers import KLTrainer
     from bgflow_tpu.samplers.dataset import DataSetSampler
     from bgflow_tpu.utils.checkpoint import latest_step, restore_checkpoint, save_checkpoint
@@ -187,6 +197,13 @@ def train_augmented(n_pretrain=4000, n_anneal=24000, seed=4, batch=1024,
     data, test = raw[:-n_test], raw[-n_test:]
     umb = np.load(UMBRELLA_PATH)
     frames, cv, logw = umb["frames"], umb["cv"].astype(np.float64), umb["log_weights"].astype(np.float64)
+    frames = np.asarray(
+        kabsch_align(
+            jnp.asarray(frames, jnp.float32).reshape(-1, 22, 3),
+            jnp.asarray(ALA2_REFERENCE_XYZ, jnp.float32),
+            atoms=ALA2_FIXED_ATOMS,
+        )
+    ).reshape(-1, 66)
 
     def _lse(a):
         m = a.max()
@@ -211,6 +228,14 @@ def train_augmented(n_pretrain=4000, n_anneal=24000, seed=4, batch=1024,
     ds = DataSetSampler(jnp.asarray(X), log_weights=jnp.asarray(lw))
     pre_dir = os.path.join(ART, "ala2_aug_pretrain_ckpt")
     ann_dir = os.path.join(ART, "ala2_aug_anneal_ckpt")
+    # checkpoints from a previous augment recipe (different data/steps) are
+    # not resumable into this one — start clean
+    import shutil
+
+    for d in (pre_dir, ann_dir):
+        step = latest_step(d)
+        if step is not None and step != n_pretrain and os.path.isdir(d):
+            shutil.rmtree(d)
 
     trainer = KLTrainer(
         gen,
@@ -231,30 +256,34 @@ def train_augmented(n_pretrain=4000, n_anneal=24000, seed=4, batch=1024,
         )
         print(f"aug pretrain {n_pretrain} it in {time.time()-t0:.0f}s", flush=True)
 
-    trainer2 = KLTrainer(
-        gen,
-        optimizer=optax.adam(optax.cosine_decay_schedule(2e-4, n_anneal, 1e-2)),
-    )
-    w_energy = optax.linear_schedule(0.0, 1.0, transition_steps=n_anneal // 2)
-    opt2, start = None, 0
-    ann_step = latest_step(ann_dir)
-    if ann_step:
-        tmpl = {"params": params, "opt_state": trainer2.init(params), "step": 0}
-        st = restore_checkpoint(ann_dir, template=tmpl)
-        params, opt2, start = st["params"], st["opt_state"], int(st["step"])
-        print(f"aug anneal: resuming from step {start}", flush=True)
-    if start < n_anneal:
-        t0 = time.time()
-        params, _, _ = trainer2.train(
-            params, jax.random.fold_in(key, 1 + start), n_anneal - start,
-            data=ds, opt_state=opt2, batchsize=batch,
-            n_kl_samples=batch, w_energy=w_energy,
-            test_data=test, test_interval=2000, progress_interval=2000,
-            checkpoint_dir=ann_dir, checkpoint_interval=2000, start_step=start,
+    if n_anneal:
+        trainer2 = KLTrainer(
+            gen,
+            optimizer=optax.adam(optax.cosine_decay_schedule(2e-4, n_anneal, 1e-2)),
         )
-        print(f"aug anneal {n_anneal - start} it in {time.time()-t0:.0f}s", flush=True)
+        w_energy = optax.linear_schedule(0.0, 1.0, transition_steps=n_anneal // 2)
+        opt2, start = None, 0
+        ann_step = latest_step(ann_dir)
+        if ann_step:
+            tmpl = {"params": params, "opt_state": trainer2.init(params), "step": 0}
+            st = restore_checkpoint(ann_dir, template=tmpl)
+            params, opt2, start = st["params"], st["opt_state"], int(st["step"])
+            print(f"aug anneal: resuming from step {start}", flush=True)
+        if start < n_anneal:
+            t0 = time.time()
+            params, _, _ = trainer2.train(
+                params, jax.random.fold_in(key, 1 + start), n_anneal - start,
+                data=ds, opt_state=opt2, batchsize=batch,
+                n_kl_samples=batch, w_energy=w_energy,
+                test_data=test, test_interval=2000, progress_interval=2000,
+                checkpoint_dir=ann_dir, checkpoint_interval=2000, start_step=start,
+            )
+            print(f"aug anneal {n_anneal - start} it in {time.time()-t0:.0f}s", flush=True)
 
-    save_checkpoint(os.path.join(ART, "ala2_ckpt"), 10**6 + n_pretrain + n_anneal, params)
+    # monotone step id: generation 2 of the augmented recipe (aligned
+    # umbrella frames, NLL-only) — must exceed every previously saved step
+    # so evaluate()'s latest-step restore picks it up
+    save_checkpoint(os.path.join(ART, "ala2_ckpt"), 2 * 10**6 + n_pretrain + n_anneal, params)
     print("saved params (augmented)")
     return params
 
@@ -333,9 +362,62 @@ def evaluate(n_eval=100_000, seed=2):
     results["pmf_phi_bg_kt"] = [None if np.isnan(v) else round(float(v), 4) for v in f_bg]
     results["pmf_phi_bg_counts"] = [int(c) for c in counts]
     print(json.dumps(results, indent=1))
+    existing = json.load(open(RESULTS_PATH)) if os.path.exists(RESULTS_PATH) else {}
+    existing.update(results)
     with open(RESULTS_PATH, "w") as fh:
-        json.dump(results, fh, indent=1)
+        json.dump(existing, fh, indent=1)
     return results
+
+
+def compare():
+    """Recompute the umbrella-side dF / PMF from the saved umbrella ensemble
+    (artifacts/ala2_umbrella.npz) and the BG-vs-umbrella agreement stats,
+    without re-running the umbrella sampling.  Run after `eval`."""
+    umb = np.load(UMBRELLA_PATH)
+    cv = umb["cv"].astype(np.float64)
+    logw = umb["log_weights"].astype(np.float64)
+
+    def basin_df(c, lw):
+        w = np.exp(lw - lw.max())
+        p = (w * (c > 0.2)).sum() / w.sum()
+        return float(np.log(p / (1 - p)))
+
+    n_blocks = 5
+    size = len(cv) // n_blocks
+    dfs = [
+        basin_df(cv[i * size : (i + 1) * size], logw[i * size : (i + 1) * size])
+        for i in range(n_blocks)
+    ]
+    f_umb, counts_umb = pmf_phi(cv, logw)
+    out = {
+        "dF_basins_umbrella_kt": basin_df(cv, logw),
+        "dF_umbrella_err_kt": float(np.std(dfs) / np.sqrt(n_blocks)),
+        "dF_blocks": dfs,
+        "pmf_phi_umbrella_kt": [None if np.isnan(v) else round(float(v), 4) for v in f_umb],
+    }
+    existing = json.load(open(RESULTS_PATH)) if os.path.exists(RESULTS_PATH) else {}
+    if "pmf_phi_bg_kt" in existing:
+        f_bg = np.array([np.nan if v is None else v for v in existing["pmf_phi_bg_kt"]])
+        n_bg = np.array(existing["pmf_phi_bg_counts"])
+        ok = np.isfinite(f_bg) & np.isfinite(f_umb) & (n_bg >= 50) & (counts_umb >= 50)
+        if ok.any():
+            diff = f_bg[ok] - f_umb[ok]
+            diff -= diff.mean()
+            out["pmf_phi_agreement_bins"] = int(ok.sum())
+            out["pmf_phi_rmsd_kt"] = round(float(np.sqrt(np.mean(diff**2))), 4)
+            out["pmf_phi_maxdev_kt"] = round(float(np.max(np.abs(diff))), 4)
+        # headline consistency check: |dF_bg - dF_umb| vs mutual MC error
+        if "dF_basins_bg_kt" in existing:
+            dev = existing["dF_basins_bg_kt"] - out["dF_basins_umbrella_kt"]
+            sig = np.sqrt(existing.get("dF_bg_err_kt", 0.0) ** 2 + out["dF_umbrella_err_kt"] ** 2)
+            out["dF_deviation_kt"] = round(float(dev), 4)
+            out["dF_mutual_err_kt"] = round(float(sig), 4)
+            out["dF_within_mutual_error"] = bool(abs(dev) <= 2 * sig)
+    print(json.dumps(out, indent=1))
+    existing.update(out)
+    with open(RESULTS_PATH, "w") as fh:
+        json.dump(existing, fh, indent=1)
+    return out
 
 
 def umbrella(n_iterations=600, n_windows=24, k_umbrella=50.0, seed=3):
@@ -444,3 +526,5 @@ if __name__ == "__main__":
         evaluate(n_eval=n)
     if phase in ("umbrella", "all"):
         umbrella()
+    if phase == "compare":
+        compare()
