@@ -111,7 +111,19 @@ class DenseNet(Net):
                     x = act(x)
         return x
 
-    def apply_transposed(self, params, x):
+    def apply_trunk(self, params, x):
+        """All layers except the last (activations applied): the trunk
+        activations consumed by the fused coupling kernel
+        (``ops/rqs_fused.py``), which performs the final matmul itself."""
+        out_dtype = x.dtype
+        for i, p in enumerate(params[:-1]):
+            x = self._layer(p, x, out_dtype)
+            act = self.activations[i]
+            if act is not None:
+                x = act(x)
+        return x
+
+    def apply_transposed(self, params, x, row_order=None):
         """``apply`` with the output emitted feature-major: (dim_out, B).
 
         The final matmul contracts via ``dot_general`` with swapped output
@@ -120,6 +132,12 @@ class DenseNet(Net):
         parameter slabs want (``ops/rqs_pallas.py``); transposing the
         (B, 3*K*D) conditioner output after the fact costs more HBM traffic
         than the whole spline evaluation.
+
+        ``row_order`` (static int array, duplicates allowed) reorders the
+        output rows by permuting the final layer's weight columns at trace
+        time — the consumer gets its preferred row layout (e.g. the spline
+        kernel's slab-contiguous order) for free instead of paying an HBM
+        gather on the (dim_out, B) result.
         """
         out_dtype = x.dtype
         for i, p in enumerate(params[:-1]):
@@ -128,18 +146,22 @@ class DenseNet(Net):
             if act is not None:
                 x = act(x)
         p = params[-1]
+        w, b = p["w"], p["b"]
+        if row_order is not None:
+            w = w[:, row_order]
+            b = b[row_order]
         if self.compute_dtype is not None:
             out = jax.lax.dot_general(
-                p["w"].astype(self.compute_dtype),
+                w.astype(self.compute_dtype),
                 x.astype(self.compute_dtype),
                 (((0,), (1,)), ((), ())),
                 preferred_element_type=out_dtype,
             )
         else:
             out = jax.lax.dot_general(
-                p["w"], x, (((0,), (1,)), ((), ())), preferred_element_type=x.dtype
+                w, x, (((0,), (1,)), ((), ())), preferred_element_type=x.dtype
             )
-        return out + p["b"][:, None]
+        return out + b[:, None]
 
 
 class MeanFreeDenseNet(DenseNet):
@@ -180,13 +202,21 @@ class WrapPeriodic(Net):
         x = jnp.concatenate([jnp.cos(arg), jnp.sin(arg), x[..., other]], axis=-1)
         return self.net.apply(params, x)
 
-    def apply_transposed(self, params, x):
+    def apply_transposed(self, params, x, row_order=None):
         idx = np.arange(x.shape[-1])[self.indices]
         other = np.setdiff1d(np.arange(x.shape[-1]), idx)
         y = x[..., idx]
         arg = 2 * jnp.pi * (y - self.left) / (self.right - self.left)
         x = jnp.concatenate([jnp.cos(arg), jnp.sin(arg), x[..., other]], axis=-1)
-        return self.net.apply_transposed(params, x)
+        return self.net.apply_transposed(params, x, row_order=row_order)
+
+    def apply_trunk(self, params, x):
+        idx = np.arange(x.shape[-1])[self.indices]
+        other = np.setdiff1d(np.arange(x.shape[-1]), idx)
+        y = x[..., idx]
+        arg = 2 * jnp.pi * (y - self.left) / (self.right - self.left)
+        x = jnp.concatenate([jnp.cos(arg), jnp.sin(arg), x[..., other]], axis=-1)
+        return self.net.apply_trunk(params, x)
 
 
 class WrapDistances(Net):

@@ -27,9 +27,108 @@ from jax.experimental.pallas import tpu as pltpu
 
 from .rqs import DEFAULT_MIN_BIN_HEIGHT, DEFAULT_MIN_BIN_WIDTH, DEFAULT_MIN_DERIVATIVE, rq_spline
 
-__all__ = ["rq_spline_pallas", "rq_spline_pallas_ad", "rq_spline_pallas_slab"]
+__all__ = [
+    "rq_spline_pallas",
+    "rq_spline_pallas_ad",
+    "rq_spline_pallas_slab",
+    "rq_spline_pallas_slab2",
+    "slab_row_order",
+]
 
 _LANES = 128
+
+
+def _rqs_math(
+    x,          # (rows, lanes) elements, clipped to domain by caller or here
+    w,          # list of K (rows, lanes) raw width logits
+    h,          # list of K raw height logits
+    s,          # list of K+1 raw slope logits
+    *,
+    inverse: bool,
+    left: float,
+    right: float,
+    bottom: float,
+    top: float,
+    min_bin_width: float,
+    min_bin_height: float,
+    min_derivative: float,
+    shift: float,
+    num_bins: int,
+):
+    """Register-resident RQ spline on same-shaped 2D tiles (shared by the
+    slab kernel and the fused coupling kernel)."""
+    K = num_bins
+
+    def softmax_scale(raw, min_size, total):
+        m = raw[0]
+        for r in raw[1:]:
+            m = jnp.maximum(m, r)
+        exps = [jnp.exp(r - m) for r in raw]
+        z = exps[0]
+        for e in exps[1:]:
+            z = z + e
+        inv = 1.0 / z
+        return [(min_size + (1.0 - min_size * K) * e * inv) * total for e in exps]
+
+    widths = softmax_scale(w, min_bin_width, right - left)
+    heights = softmax_scale(h, min_bin_height, top - bottom)
+
+    # cumulative left edges per bin (unrolled prefix sums)
+    cumx = [jnp.full_like(widths[0], left)]
+    cumy = [jnp.full_like(heights[0], bottom)]
+    for k in range(K - 1):
+        cumx.append(cumx[-1] + widths[k])
+        cumy.append(cumy[-1] + heights[k])
+
+    x = jnp.clip(x, bottom if inverse else left, top if inverse else right)
+
+    # branchless bin index: count interior left edges <= x
+    edges = cumy if inverse else cumx
+    idx = jnp.zeros(x.shape, dtype=jnp.int32)
+    for k in range(1, K):
+        idx = idx + jnp.where(x >= edges[k], 1, 0)
+
+    def pick(slabs):
+        acc = slabs[0]
+        for k in range(1, len(slabs)):
+            acc = jnp.where(idx == k, slabs[k], acc)
+        return acc
+
+    xk = pick(cumx)
+    yk = pick(cumy)
+    wk = pick(widths)
+    hk = pick(heights)
+    dk = hk / wk
+    # lazy slope activation: pick the two RAW slopes first, then softplus
+    # only those — 2 transcendental pairs per element instead of K+1
+    sk_raw = pick(s[:K])
+    sk1_raw = pick(s[1 : K + 1])
+    sk = min_derivative + jax.nn.softplus(sk_raw + shift)
+    sk1 = min_derivative + jax.nn.softplus(sk1_raw + shift)
+    s_sum = sk + sk1 - 2.0 * dk
+
+    if inverse:
+        dy = x - yk
+        a = dy * s_sum + hk * (dk - sk)
+        b = hk * sk - dy * s_sum
+        c = -dk * dy
+        disc = jnp.maximum(b * b - 4.0 * a * c, 0.0)
+        theta = jnp.clip((2.0 * c) / (-b - jnp.sqrt(disc)), 0.0, 1.0)
+        y = theta * wk + xk
+    else:
+        theta = jnp.clip((x - xk) / wk, 0.0, 1.0)
+        numer = hk * (dk * theta * theta + sk * theta * (1.0 - theta))
+        denom_f = dk + s_sum * theta * (1.0 - theta)
+        y = yk + numer / denom_f
+
+    t1m = theta * (1.0 - theta)
+    denom = dk + s_sum * t1m
+    dnum = dk * dk * (sk1 * theta * theta + 2.0 * dk * t1m + sk * (1.0 - theta) ** 2)
+    # one log instead of two: log(dnum) - 2 log(denom) == log(dnum/denom^2)
+    ldj = jnp.log(dnum / (denom * denom))
+    if inverse:
+        ldj = -ldj
+    return y, ldj
 
 
 def _rqs_kernel(
@@ -52,77 +151,15 @@ def _rqs_kernel(
     num_bins: int,
 ):
     K = num_bins
-    w = [w_ref[k] for k in range(K)]
-    h = [h_ref[k] for k in range(K)]
-    s = [s_ref[k] for k in range(K + 1)]
-
-    def softmax_scale(raw, min_size, total):
-        m = raw[0]
-        for r in raw[1:]:
-            m = jnp.maximum(m, r)
-        exps = [jnp.exp(r - m) for r in raw]
-        z = exps[0]
-        for e in exps[1:]:
-            z = z + e
-        inv = 1.0 / z
-        return [(min_size + (1.0 - min_size * K) * e * inv) * total for e in exps]
-
-    widths = softmax_scale(w, min_bin_width, right - left)
-    heights = softmax_scale(h, min_bin_height, top - bottom)
-    derivs = [min_derivative + jax.nn.softplus(sk + shift) for sk in s]
-
-    # cumulative left edges per bin (unrolled prefix sums)
-    cumx = [jnp.full_like(widths[0], left)]
-    cumy = [jnp.full_like(heights[0], bottom)]
-    for k in range(K - 1):
-        cumx.append(cumx[-1] + widths[k])
-        cumy.append(cumy[-1] + heights[k])
-
-    x = x_ref[:, :]
-    x = jnp.clip(x, bottom if inverse else left, top if inverse else right)
-
-    # branchless bin index: count interior left edges <= x
-    edges = cumy if inverse else cumx
-    idx = jnp.zeros(x.shape, dtype=jnp.int32)
-    for k in range(1, K):
-        idx = idx + jnp.where(x >= edges[k], 1, 0)
-
-    def pick(slabs):
-        acc = slabs[0]
-        for k in range(1, len(slabs)):
-            acc = jnp.where(idx == k, slabs[k], acc)
-        return acc
-
-    xk = pick(cumx)
-    yk = pick(cumy)
-    wk = pick(widths)
-    hk = pick(heights)
-    dk = hk / wk
-    sk = pick(derivs[:K])
-    sk1 = pick([derivs[k + 1] for k in range(K)])
-    s_sum = sk + sk1 - 2.0 * dk
-
-    if inverse:
-        dy = x - yk
-        a = dy * s_sum + hk * (dk - sk)
-        b = hk * sk - dy * s_sum
-        c = -dk * dy
-        disc = jnp.maximum(b * b - 4.0 * a * c, 0.0)
-        theta = jnp.clip((2.0 * c) / (-b - jnp.sqrt(disc)), 0.0, 1.0)
-        y = theta * wk + xk
-    else:
-        theta = jnp.clip((x - xk) / wk, 0.0, 1.0)
-        numer = hk * (dk * theta * theta + sk * theta * (1.0 - theta))
-        denom_f = dk + s_sum * theta * (1.0 - theta)
-        y = yk + numer / denom_f
-
-    t1m = theta * (1.0 - theta)
-    denom = dk + s_sum * t1m
-    dnum = dk * dk * (sk1 * theta * theta + 2.0 * dk * t1m + sk * (1.0 - theta) ** 2)
-    ldj = jnp.log(dnum) - 2.0 * jnp.log(denom)
-    if inverse:
-        ldj = -ldj
-
+    y, ldj = _rqs_math(
+        x_ref[:, :],
+        [w_ref[k] for k in range(K)],
+        [h_ref[k] for k in range(K)],
+        [s_ref[k] for k in range(K + 1)],
+        inverse=inverse, left=left, right=right, bottom=bottom, top=top,
+        min_bin_width=min_bin_width, min_bin_height=min_bin_height,
+        min_derivative=min_derivative, shift=shift, num_bins=num_bins,
+    )
     y_ref[:, :] = y
     ldj_ref[:, :] = ldj
 
@@ -385,6 +422,148 @@ def _rqs_slab_bwd(config, residuals, cotangents):
 
 
 _rqs_slab_core.defvjp(_rqs_slab_fwd, _rqs_slab_bwd)
+
+
+# --------------------------------------------- slab-direct v2 (no gather) --
+#
+# v1 builds its (k, rows, 128) parameter slabs with an HBM row gather of
+# raw_t (measured ~20 ms/coupling at batch 1M on v5e — XLA's row gather
+# runs ~8x over the stream bound).  v2 removes the gather entirely: the
+# conditioner's final weight COLUMNS are permuted at trace time
+# (DenseNet.apply_transposed(row_order=slab_row_order(...)), a (H, out)
+# shuffle of ~200 KB) so raw_t arrives with rows already slab-contiguous
+# [w: k-major d-minor | h | slopes incl. the duplicated periodic-wrap final
+# row], and slab construction is pure reshape views.
+
+
+def slab_row_order(y_dim: int, num_bins: int, noncircular_indices=()):
+    """Conditioner output-row order that makes spline slabs contiguous.
+
+    Maps v2 row position -> packed-layout row index (the packed layout is
+    ConditionalSplineTransformer's convention: widths | heights | slopes,
+    each d-major k-minor, then the noncircular final slopes).  The final
+    (K+1)-th slope slab DUPLICATES the first-slope row for circular dims
+    (periodic wrap) and takes the dedicated trailing feature for
+    noncircular dims, so v2 output has (3*K + 1) * D rows.
+    """
+    D, K = int(y_dim), int(num_bins)
+    woff, hoff, soff, ncoff = 0, K * D, 2 * K * D, 3 * K * D
+    nc_rank = {int(d): r for r, d in enumerate(noncircular_indices)}
+    order = []
+    for off in (woff, hoff, soff):
+        for k in range(K):
+            order.extend(off + d * K + k for d in range(D))
+    order.extend(
+        ncoff + nc_rank[d] if d in nc_rank else soff + d * K for d in range(D)
+    )
+    return np.asarray(order, dtype=np.int64)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _rqs_slab2_core(config, x, raw_t):
+    cfg = dict(config)
+    y_dim = cfg.pop("y_dim")
+    num_bins = cfg.pop("num_bins")
+    block_rows = cfg.pop("block_rows")
+    interpret = cfg.pop("interpret")
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    B = x.shape[0]
+    K, D = num_bins, y_dim
+
+    n = D * B
+    chunk = block_rows * _LANES
+    n_pad = (-n) % chunk
+    n_rows = (n + n_pad) // _LANES
+
+    def slab(lo, k_dim):
+        # contiguous leading-axis slice + reshape: views, no data movement
+        arr = raw_t[lo : lo + k_dim * D].reshape(k_dim, n)
+        if n_pad:
+            arr = jnp.pad(arr, ((0, 0), (0, n_pad)))
+        return arr.reshape(k_dim, n_rows, _LANES)
+
+    wf = slab(0, K)
+    hf = slab(K * D, K)
+    sf = slab(2 * K * D, K + 1)
+
+    xf = x.T.reshape(n)
+    if n_pad:
+        xf = jnp.pad(xf, (0, n_pad), constant_values=0.5 * (cfg["left"] + cfg["right"]))
+    xf = xf.reshape(n_rows, _LANES)
+
+    y_rows, ldj_rows = _invoke_rqs_kernel(
+        xf, wf, hf, sf, num_bins=K, block_rows=block_rows, interpret=interpret, **cfg
+    )
+    y = y_rows.reshape(-1)[:n].reshape(D, B)
+    ldj = ldj_rows.reshape(-1)[:n].reshape(D, B)
+    return y.T, jnp.sum(ldj, axis=0)
+
+
+def _slab2_reference(config, x, raw_t):
+    """Identical function through the packed XLA spline (exact VJP source)."""
+    cfg = dict(config)
+    y_dim = cfg.pop("y_dim")
+    num_bins = cfg.pop("num_bins")
+    cfg.pop("block_rows")
+    cfg.pop("interpret")
+    K, D = num_bins, y_dim
+    raw = raw_t.T  # (B, (3K+1)*D), k-major d-minor per channel
+    B = raw.shape[0]
+    w = raw[:, : K * D].reshape(B, K, D).transpose(0, 2, 1)
+    h = raw[:, K * D : 2 * K * D].reshape(B, K, D).transpose(0, 2, 1)
+    slopes = raw[:, 2 * K * D :].reshape(B, K + 1, D).transpose(0, 2, 1)
+    y, ldj = rq_spline(x, w, h, slopes, **cfg)
+    return y, jnp.sum(ldj, axis=-1)
+
+
+def _rqs_slab2_fwd(config, x, raw_t):
+    return _rqs_slab2_core(config, x, raw_t), (x, raw_t)
+
+
+def _rqs_slab2_bwd(config, residuals, cotangents):
+    x, raw_t = residuals
+    _, vjp = jax.vjp(lambda xx, rr: _slab2_reference(config, xx, rr), x, raw_t)
+    return vjp(cotangents)
+
+
+_rqs_slab2_core.defvjp(_rqs_slab2_fwd, _rqs_slab2_bwd)
+
+
+def rq_spline_pallas_slab2(
+    x,
+    raw_t,
+    num_bins: int,
+    inverse: bool = False,
+    left: float = 0.0,
+    right: float = 1.0,
+    bottom: float = 0.0,
+    top: float = 1.0,
+    min_bin_width: float = DEFAULT_MIN_BIN_WIDTH,
+    min_bin_height: float = DEFAULT_MIN_BIN_HEIGHT,
+    min_derivative: float = DEFAULT_MIN_DERIVATIVE,
+    identity_init: bool = True,
+    block_rows: int = 64,
+    interpret=None,
+):
+    """Conditional RQ spline from slab-ordered conditioner output.
+
+    ``x``: (B, D); ``raw_t``: ((3*num_bins + 1) * D, B) with rows in
+    ``slab_row_order`` layout (emit via
+    ``net.apply_transposed(params, cond, row_order=slab_row_order(...))``).
+    Returns (y (B, D), summed ldj (B,)).  Differentiable (Pallas forward,
+    exact XLA-vjp backward).
+    """
+    config = (
+        ("y_dim", int(x.shape[-1])),
+        ("num_bins", int(num_bins)),
+        ("inverse", inverse), ("left", left), ("right", right),
+        ("bottom", bottom), ("top", top),
+        ("min_bin_width", min_bin_width), ("min_bin_height", min_bin_height),
+        ("min_derivative", min_derivative), ("identity_init", identity_init),
+        ("block_rows", block_rows), ("interpret", interpret),
+    )
+    return _rqs_slab2_core(config, x, raw_t)
 
 
 def rq_spline_pallas_slab(

@@ -80,17 +80,86 @@ class ConditionalSplineTransformer(Transformer):
             slopes = slopes.at[..., idx, -1].set(noncirc)
         return w, h, slopes
 
+    def _net_compute_dtype(self):
+        """The wrapped net's matmul compute dtype (unwraps WrapPeriodic)."""
+        net = self.params_net
+        while not hasattr(net, "compute_dtype") and hasattr(net, "net"):
+            net = net.net
+        return getattr(net, "compute_dtype", None)
+
+    @staticmethod
+    def _net_out_dim(params):
+        """Final-layer output width from an MLP-style params pytree, or None."""
+        try:
+            return int(params[-1]["b"].shape[0])
+        except (TypeError, KeyError, IndexError, AttributeError):
+            return None
+
     def _apply(self, params, x, y, spline_inverse: bool):
         if self.use_pallas and hasattr(self.params_net, "apply_transposed"):
             # relayout-free fast path: the conditioner's last matmul emits
-            # feature-major (out, B) and the kernel slabs are built with
-            # static row gathers (ops/rqs_pallas.py slab-direct path) —
-            # numerically identical to the packed path below
-            from ..ops.rqs_pallas import rq_spline_pallas_slab
+            # feature-major (out, B) with its rows already in the Pallas
+            # kernel's slab order (the final weight columns are permuted at
+            # trace time — ops/rqs_pallas.py slab_row_order), so the kernel
+            # slabs are pure reshape views.  Numerically identical to the
+            # packed path below.
+            from ..ops.rqs_pallas import (
+                rq_spline_pallas_slab,
+                rq_spline_pallas_slab2,
+                slab_row_order,
+            )
 
             y_dim = y.shape[-1]
-            raw_t = self.params_net.apply_transposed(params, x)
             n_noncirc = self._n_noncircular(y_dim)
+            out_dim = self._net_out_dim(params)
+            if out_dim is not None:
+                n_bins = (out_dim - n_noncirc) // (y_dim * 3)
+                if out_dim != y_dim * 3 * n_bins + n_noncirc:
+                    raise ValueError(
+                        f"params_net output ({out_dim}) does not match "
+                        f"y_dim*3*n_bins + n_noncircular = {y_dim}*3*{n_bins} + {n_noncirc}"
+                    )
+                if hasattr(self.params_net, "apply_trunk"):
+                    # fully-fused path: the kernel performs the final matmul
+                    # itself, so the (3*K*D, B) raw-parameter tensor never
+                    # touches HBM (ops/rqs_fused.py)
+                    from ..ops.rqs_fused import fused_row_order, rqs_fused_coupling
+
+                    order = fused_row_order(
+                        y_dim, n_bins, self._noncircular_indices(y_dim)
+                    )
+                    hact = self.params_net.apply_trunk(params, x)
+                    W = params[-1]["w"][:, order]
+                    b = params[-1]["b"][order]
+                    return rqs_fused_coupling(
+                        y,
+                        hact,
+                        W,
+                        b,
+                        num_bins=n_bins,
+                        inverse=spline_inverse,
+                        left=self.left,
+                        right=self.right,
+                        bottom=self.bottom,
+                        top=self.top,
+                        matmul_dtype=self._net_compute_dtype(),
+                    )
+                order = slab_row_order(
+                    y_dim, n_bins, self._noncircular_indices(y_dim)
+                )
+                raw_t = self.params_net.apply_transposed(params, x, row_order=order)
+                return rq_spline_pallas_slab2(
+                    y,
+                    raw_t,
+                    num_bins=n_bins,
+                    inverse=spline_inverse,
+                    left=self.left,
+                    right=self.right,
+                    bottom=self.bottom,
+                    top=self.top,
+                )
+            # params shape not introspectable: gather-based slab path
+            raw_t = self.params_net.apply_transposed(params, x)
             n_bins = (raw_t.shape[0] - n_noncirc) // (y_dim * 3)
             if raw_t.shape[0] != y_dim * 3 * n_bins + n_noncirc:
                 raise ValueError(

@@ -9,11 +9,56 @@ from __future__ import annotations
 
 import contextlib
 import time
-from typing import Iterator, Optional
+from typing import Callable, Iterator, Optional
 
 import jax
+import jax.numpy as jnp
 
-__all__ = ["trace", "scope", "Timer"]
+__all__ = ["trace", "scope", "Timer", "measure_op"]
+
+
+def measure_op(fn: Callable, *args, iters: int = 10, base: int = 2) -> float:
+    """True per-call device latency of ``fn(i, *args) -> pytree`` in seconds.
+
+    Some backends (the axon TPU tunnel) have a non-blocking
+    ``block_until_ready``, so host-side timing loops over async dispatches
+    measure nothing.  This helper runs the loop ON DEVICE: one jitted
+    executable whose traced iteration count drives a ``fori_loop`` that
+    calls ``fn(i, *args)`` and folds the first element of its first output
+    leaf into a scalar accumulator (preventing dead-code elimination),
+    synced by a 4-byte scalar fetch.  The tunnel round-trip (~30 ms) and
+    loop overhead cancel in the two-length difference.
+
+    Pass large arrays through ``*args`` (they become jit parameters) — a
+    closure-captured device array is embedded into the HLO as a literal,
+    which breaks remote-compile size limits.  ``fn`` must make its
+    computation depend on the traced index ``i`` (fold it into a PRNG key
+    or add ``i * 0`` to an input) or XLA hoists the body out of the loop
+    and the measurement collapses.
+    """
+
+    @jax.jit
+    def run(m, *a):
+        def body(i, acc):
+            # consume EVERY element of every output leaf: slicing a single
+            # element lets XLA's simplifier compute just that element
+            # through elementwise/matmul chains, silently deleting the op
+            # under measurement
+            s = jnp.float32(0.0)
+            for leaf in jax.tree.leaves(fn(i, *a)):
+                s = s + jnp.mean(leaf).astype(jnp.float32)
+            return acc + s * 1e-12
+
+        return jax.lax.fori_loop(0, m, body, jnp.float32(0.0))
+
+    float(run(jnp.int32(base), *args))  # compile + warm
+    t0 = time.perf_counter()
+    float(run(jnp.int32(base), *args))
+    t_base = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    float(run(jnp.int32(base + iters), *args))
+    t_full = time.perf_counter() - t0
+    return (t_full - t_base) / iters
 
 
 @contextlib.contextmanager

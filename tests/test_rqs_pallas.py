@@ -1,6 +1,7 @@
 """Pallas RQS kernel vs the XLA reference implementation (interpreter mode
 on CPU; the same kernel compiles via Mosaic on TPU)."""
 import jax
+import numpy as np
 import jax.numpy as jnp
 import pytest
 
@@ -172,3 +173,154 @@ def test_spline_transformer_slab_path_matches_xla(key):
     z2i, l2i = t_slab._inverse(params, x, y)
     assert_close(z1i, z2i, 1e-5)
     assert_close(l1i, l2i, 1e-4)
+
+
+@pytest.mark.parametrize("inverse", [False, True], ids=["fwd", "inv"])
+def test_slab2_matches_slab1(key, inverse):
+    """The gather-free v2 path (conditioner emits slab-ordered rows via
+    slab_row_order) computes the identical function of the same packed raw
+    features as the v1 gather path."""
+    from bgflow_tpu.ops.rqs_pallas import (
+        rq_spline_pallas_slab, rq_spline_pallas_slab2, slab_row_order,
+    )
+
+    B, D, K = 29, 5, 8
+    noncirc = (1, 3)
+    n_raw = 3 * K * D + len(noncirc)
+    k1, k2 = jax.random.split(key)
+    x = jax.random.uniform(k1, (B, D), dtype=jnp.float32, minval=0.01, maxval=0.99)
+    raw_t = jax.random.normal(k2, (n_raw, B), dtype=jnp.float32)
+
+    y1, l1 = rq_spline_pallas_slab(
+        x, raw_t, num_bins=K, noncircular_indices=noncirc,
+        inverse=inverse, block_rows=8, interpret=True,
+    )
+    order = slab_row_order(D, K, noncirc)
+    y2, l2 = rq_spline_pallas_slab2(
+        x, raw_t[order], num_bins=K, inverse=inverse, block_rows=8, interpret=True,
+    )
+    assert_close(y1, y2, 1e-6)
+    assert_close(l1, l2, 1e-6)
+
+
+def test_slab2_gradients_match(key):
+    """v2 custom-vjp gradients agree with the v1 path's gradients w.r.t. the
+    PACKED raw features (chain rule through the static row duplication)."""
+    from bgflow_tpu.ops.rqs_pallas import (
+        rq_spline_pallas_slab, rq_spline_pallas_slab2, slab_row_order,
+    )
+
+    B, D, K = 12, 3, 6
+    noncirc = (0,)
+    n_raw = 3 * K * D + len(noncirc)
+    k1, k2 = jax.random.split(key)
+    x = jax.random.uniform(k1, (B, D), dtype=jnp.float32, minval=0.05, maxval=0.95)
+    raw_t = 0.5 * jax.random.normal(k2, (n_raw, B), dtype=jnp.float32)
+    order = slab_row_order(D, K, noncirc)
+
+    def loss1(x, r):
+        y, ldj = rq_spline_pallas_slab(
+            x, r, num_bins=K, noncircular_indices=noncirc, block_rows=8, interpret=True
+        )
+        return jnp.sum(y**2) + jnp.sum(ldj)
+
+    def loss2(x, r):
+        y, ldj = rq_spline_pallas_slab2(
+            x, r[order], num_bins=K, block_rows=8, interpret=True
+        )
+        return jnp.sum(y**2) + jnp.sum(ldj)
+
+    g1x, g1r = jax.grad(loss1, argnums=(0, 1))(x, raw_t)
+    g2x, g2r = jax.grad(loss2, argnums=(0, 1))(x, raw_t)
+    assert_close(g1x, g2x, 1e-4)
+    assert_close(g1r, g2r, 1e-4)
+
+
+def test_dense_apply_transposed_row_order(key):
+    import bgflow_tpu as bg
+
+    net = bg.DenseNet([7, 16, 11])
+    params = net.init(key)
+    x = jax.random.normal(jax.random.PRNGKey(1), (5, 7))
+    order = np.asarray([3, 3, 0, 10, 7, 1])  # duplicates allowed
+    out = net.apply_transposed(params, x, row_order=order)
+    ref = net.apply(params, x).T[order]
+    assert_close(out, ref, 1e-6)
+
+
+@pytest.mark.parametrize("inverse", [False, True], ids=["fwd", "inv"])
+def test_fused_coupling_matches_reference(key, inverse):
+    """The fused (final matmul + spline) kernel computes the same function
+    as the packed XLA reference of the same weights."""
+    from bgflow_tpu.ops.rqs_fused import (
+        _fused_reference, fused_row_order, rqs_fused_coupling,
+    )
+
+    B, D, K, H = 37, 5, 8, 16
+    noncirc = (1, 3)
+    k1, k2, k3, k4 = jax.random.split(key, 4)
+    x = jax.random.uniform(k1, (B, D), dtype=jnp.float32, minval=0.01, maxval=0.99)
+    h = jax.random.normal(k2, (B, H), dtype=jnp.float32)
+    n_raw = 3 * K * D + len(noncirc)
+    W_packed = 0.3 * jax.random.normal(k3, (H, n_raw), dtype=jnp.float32)
+    b_packed = 0.1 * jax.random.normal(k4, (n_raw,), dtype=jnp.float32)
+    order = fused_row_order(D, K, noncirc)
+    W, b = W_packed[:, order], b_packed[order]
+
+    y, ldj = rqs_fused_coupling(
+        x, h, W, b, num_bins=K, inverse=inverse, lanes=128, interpret=True
+    )
+    config = (
+        ("y_dim", D), ("num_bins", K),
+        ("inverse", inverse), ("left", 0.0), ("right", 1.0),
+        ("bottom", 0.0), ("top", 1.0),
+        ("min_bin_width", 1e-3), ("min_bin_height", 1e-3),
+        ("min_derivative", 1e-3), ("identity_init", True),
+        ("matmul_dtype", None), ("lanes", 128), ("interpret", True),
+    )
+    y_ref, ldj_ref = _fused_reference(config, x, h, W, b)
+    assert_close(y, y_ref, 1e-5)
+    assert_close(ldj, ldj_ref, 1e-4)
+
+    # and against the v1 slab path fed the packed layout directly
+    from bgflow_tpu.ops.rqs_pallas import rq_spline_pallas_slab
+
+    raw_t = (jnp.dot(h, W_packed) + b_packed).T
+    y2, ldj2 = rq_spline_pallas_slab(
+        x, raw_t, num_bins=K, noncircular_indices=noncirc,
+        inverse=inverse, block_rows=8, interpret=True,
+    )
+    assert_close(y, y2, 1e-5)
+    assert_close(ldj, ldj2, 1e-4)
+
+
+def test_fused_coupling_gradients(key):
+    """Fused custom-vjp gradients (x, h, W, b) match finite differences."""
+    from bgflow_tpu.ops.rqs_fused import fused_row_order, rqs_fused_coupling
+
+    B, D, K, H = 9, 3, 4, 8
+    noncirc = (0,)
+    k1, k2, k3, k4 = jax.random.split(key, 4)
+    x = jax.random.uniform(k1, (B, D), dtype=jnp.float32, minval=0.05, maxval=0.95)
+    h = 0.5 * jax.random.normal(k2, (B, H), dtype=jnp.float32)
+    order = fused_row_order(D, K, noncirc)
+    W = 0.3 * jax.random.normal(k3, (H, len(order)), dtype=jnp.float32)
+    b = 0.1 * jax.random.normal(k4, (len(order),), dtype=jnp.float32)
+
+    def loss(x, h, W, b):
+        y, ldj = rqs_fused_coupling(
+            x, h, W, b, num_bins=K, lanes=128, interpret=True
+        )
+        return jnp.sum(y**2) + jnp.sum(ldj)
+
+    grads = jax.grad(loss, argnums=(0, 1, 2, 3))(x, h, W, b)
+    eps = 1e-3
+    for argi, (arr, idx) in enumerate(
+        [(x, (4, 1)), (h, (2, 3)), (W, (5, 7)), (b, (11,))]
+    ):
+        args = [x, h, W, b]
+        ap = arr.at[idx].add(eps); args[argi] = ap; lp = loss(*args)
+        am = arr.at[idx].add(-eps); args[argi] = am; lm = loss(*args)
+        fd = (lp - lm) / (2 * eps)
+        g = float(grads[argi][idx])
+        assert abs(g - float(fd)) < 3e-2 * max(1.0, abs(float(fd))), (argi, g, fd)
