@@ -107,38 +107,44 @@ def measure_sampling(gen, params, key, n, iters=10):
     return n * iters / (t_full - t_base)
 
 
-def measure_training(key, batch=1024, iters=30):
-    """Mixed NLL/KL training steps/s on the spline flagship (real FF target)."""
+def measure_training(key, batch=1024, scan_steps=100):
+    """Mixed NLL/KL training steps/s on the spline flagship (real FF target).
+
+    Uses the on-device scanned loop (``KLTrainer.make_train_scan``): the
+    whole window of steps runs inside one executable, so the measurement —
+    like production training — pays one dispatch per window instead of one
+    per step.  Rate = steps / (t(2 windows) - t(1 window)); the tunnel
+    round-trip cancels in the difference.
+    """
     from bgflow_tpu.models.ala2 import make_ala2_generator
 
     data = _synthetic_data(2048)
     gen = make_ala2_generator(data, use_pallas_spline=True, keepdims=15)
     params = gen.init(key)
     trainer = bg.KLTrainer(gen)
-    step = trainer.make_train_step(batchsize_likelihood=batch, batchsize_energy=batch)
+    run = trainer.make_train_scan(
+        scan_steps, batchsize_likelihood=batch, batchsize_energy=batch
+    )
     opt_state = trainer.init(params)
-    d = jnp.asarray(data)
+    d = (jnp.asarray(data),)
 
-    def run(params, opt_state, key, n):
-        # per-step data dependencies chain on device; the scalar fetch at
-        # the end is the only real synchronization on the axon tunnel
-        # (block_until_ready does not block there — see measure_sampling)
-        for i in range(n):
-            key, kb, ks = jax.random.split(key, 3)
-            idx = jax.random.randint(kb, (batch,), 0, d.shape[0])
-            params, opt_state, m = step(params, opt_state, ks, (d[idx],))
-        float(m["loss"])
+    def window(params, opt_state, key, n_windows):
+        for i in range(n_windows):
+            params, opt_state, m = run(
+                params, opt_state, jax.random.fold_in(key, i), d
+            )
+        loss = float(m["loss"][-1])
+        assert np.isfinite(loss), "training produced non-finite loss"
         return params, opt_state
 
-    base = 3
-    params, opt_state = run(params, opt_state, jax.random.fold_in(key, 0), base)
+    params, opt_state = window(params, opt_state, jax.random.fold_in(key, 0), 1)
     t0 = time.perf_counter()
-    run(params, opt_state, jax.random.fold_in(key, 1), base)
+    window(params, opt_state, jax.random.fold_in(key, 1), 1)
     t_base = time.perf_counter() - t0
     t0 = time.perf_counter()
-    run(params, opt_state, jax.random.fold_in(key, 2), base + iters)
+    window(params, opt_state, jax.random.fold_in(key, 2), 2)
     t_full = time.perf_counter() - t0
-    return iters / (t_full - t_base)
+    return scan_steps / (t_full - t_base)
 
 
 def main():

@@ -142,6 +142,28 @@ class KLTrainer:
         The NaN guard mirrors the reference (``trainers.py:198-201``): if any
         gradient is non-finite the whole update is skipped, branchlessly.
         """
+        return jax.jit(
+            self._build_step_fn(
+                batchsize_likelihood=batchsize_likelihood,
+                batchsize_energy=batchsize_energy,
+                w_likelihood=w_likelihood,
+                w_energy=w_energy,
+                temperature=temperature,
+                clip_grad_norm=clip_grad_norm,
+            )
+        )
+
+    def _build_step_fn(
+        self,
+        batchsize_likelihood=0,
+        batchsize_energy=0,
+        w_likelihood=1.0,
+        w_energy=1.0,
+        temperature=1.0,
+        clip_grad_norm=None,
+    ):
+        """The un-jitted update step (shared by make_train_step and the
+        on-device scan loop)."""
         optimizer = self.optimizer
         if clip_grad_norm is not None:
             optimizer = optax.chain(optax.clip_by_global_norm(clip_grad_norm), self.optimizer)
@@ -160,7 +182,6 @@ class KLTrainer:
                 temperature=resolve(temperature, step),
             )
 
-        @jax.jit
         def train_step(params, opt_state, key, batch=None, step=0):
             (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
                 params, key, batch, step
@@ -180,6 +201,69 @@ class KLTrainer:
             return params, opt_state, metrics
 
         return train_step
+
+    def make_train_scan(
+        self,
+        n_steps: int,
+        batchsize_likelihood: int = 0,
+        batchsize_energy: int = 0,
+        w_likelihood=1.0,
+        w_energy=1.0,
+        temperature=1.0,
+        clip_grad_norm: Optional[float] = None,
+    ):
+        """Build one jitted call that runs ``n_steps`` update steps on device.
+
+        Per-step host dispatch dominates small-batch training on remote
+        accelerators (the reference steps its optimizer from Python,
+        ``trainers.py:84-201``; so does :meth:`train`).  Here the whole loop
+        is a ``lax.scan`` inside one executable: minibatch indices are drawn
+        on device from the device-resident dataset (uniform, or categorical
+        when ``log_weights`` is given), so a call only pays one dispatch.
+
+        Returns ``run(params, opt_state, key, data=(), log_weights=None,
+        step0=0) -> (params, opt_state, metrics)`` where ``data`` is a tuple
+        of arrays (pass ``DatasetSampler.data``) and ``metrics`` holds
+        per-step (n_steps,) arrays (loss etc.).  ``step0 + i`` drives any
+        schedule arguments, so chunked calls continue annealing seamlessly.
+        """
+        step_fn = self._build_step_fn(
+            batchsize_likelihood=batchsize_likelihood,
+            batchsize_energy=batchsize_energy,
+            w_likelihood=w_likelihood,
+            w_energy=w_energy,
+            temperature=temperature,
+            clip_grad_norm=clip_grad_norm,
+        )
+        bs = int(batchsize_likelihood)
+
+        @jax.jit
+        def run(params, opt_state, key, data=(), log_weights=None, step0=0):
+            data_t = tuple(data)
+
+            def body(carry, i):
+                params, opt_state, key = carry
+                key, kb, ks = jax.random.split(key, 3)
+                if data_t and bs > 0:
+                    n = data_t[0].shape[0]
+                    if log_weights is None:
+                        idx = jax.random.randint(kb, (bs,), 0, n)
+                    else:
+                        idx = jax.random.categorical(kb, log_weights, shape=(bs,))
+                    batch = tuple(jnp.take(d, idx, axis=0) for d in data_t)
+                else:
+                    batch = None
+                params, opt_state, metrics = step_fn(params, opt_state, ks, batch, step0 + i)
+                return (params, opt_state, key), metrics
+
+            (params, opt_state, _), metrics = jax.lax.scan(
+                body,
+                (params, opt_state, key),
+                jnp.arange(n_steps, dtype=jnp.int32),
+            )
+            return params, opt_state, metrics
+
+        return run
 
     def train(
         self,
@@ -201,6 +285,7 @@ class KLTrainer:
         checkpoint_dir: Optional[str] = None,
         checkpoint_interval: Optional[int] = None,
         start_step: int = 0,
+        scan_chunk: int = 0,
     ):
         """Run ``n_iter`` optimization steps; returns (params, opt_state, reporter).
 
@@ -212,9 +297,21 @@ class KLTrainer:
         * ``checkpoint_dir``: orbax-checkpoint ``{params, opt_state, step}``
           every ``checkpoint_interval`` iterations and at the end; resume by
           restoring and passing ``params``/``opt_state``/``start_step``.
+        * ``scan_chunk`` > 0 runs the loop on device in chunks of that many
+          steps via :meth:`make_train_scan` (one dispatch per chunk instead
+          of per step; ~10x faster small-batch training through a remote
+          accelerator).  ``data`` must then be a DatasetSampler (or None);
+          test NLL and checkpoints happen at chunk boundaries.
         """
         if opt_state is None:
             opt_state = self.init(params)
+        if scan_chunk:
+            return self._train_scanned(
+                params, key, n_iter, data, opt_state, batchsize, n_kl_samples,
+                w_likelihood, w_energy, temperature, progress_interval,
+                reporter, test_data, test_interval, test_batchsize,
+                checkpoint_dir, checkpoint_interval, start_step, scan_chunk,
+            )
         n_kl = batchsize if n_kl_samples is None else n_kl_samples
         step = self.make_train_step(
             batchsize_likelihood=batchsize if data is not None else 0,
@@ -259,6 +356,85 @@ class KLTrainer:
                     checkpoint_dir,
                     global_step + 1,
                     {"params": params, "opt_state": opt_state, "step": global_step + 1},
+                )
+        if checkpoint_dir:
+            from ..utils.checkpoint import save_checkpoint
+
+            save_checkpoint(
+                checkpoint_dir,
+                start_step + n_iter,
+                {"params": params, "opt_state": opt_state, "step": start_step + n_iter},
+            )
+        return params, opt_state, reporter
+
+    def _train_scanned(
+        self, params, key, n_iter, data, opt_state, batchsize, n_kl_samples,
+        w_likelihood, w_energy, temperature, progress_interval, reporter,
+        test_data, test_interval, test_batchsize, checkpoint_dir,
+        checkpoint_interval, start_step, scan_chunk,
+    ):
+        """On-device chunked training loop (``train(scan_chunk=...)``)."""
+        n_kl = batchsize if n_kl_samples is None else n_kl_samples
+        data_arrays = ()
+        log_weights = None
+        if data is not None:
+            if not hasattr(data, "data"):
+                raise TypeError(
+                    "train(scan_chunk=...) needs a DatasetSampler (device-"
+                    f"resident arrays) for likelihood training, got {type(data)}"
+                )
+            data_arrays = data.data
+            log_weights = getattr(data, "log_weights", None)
+        make = lambda n: self.make_train_scan(
+            n,
+            batchsize_likelihood=batchsize if data is not None else 0,
+            batchsize_energy=n_kl if self.train_energy and self.bg.target is not None else 0,
+            w_likelihood=w_likelihood,
+            w_energy=w_energy,
+            temperature=temperature,
+        )
+        full = min(scan_chunk, n_iter)
+        run = make(full)
+        run_tail = None
+        track_test = test_data is not None
+        if track_test:
+            test_batch = jnp.asarray(test_data)[:test_batchsize]
+            test_nll = jax.jit(lambda p: jnp.mean(self.bg.energy(p, test_batch)))
+        if reporter is None:
+            reporter = LossReporter("loss", "test_nll") if track_test else LossReporter("loss")
+        last_test = np.nan
+        done = 0
+        while done < n_iter:
+            chunk = min(full, n_iter - done)
+            if chunk == full:
+                fn = run
+            else:
+                run_tail = run_tail if run_tail is not None else make(chunk)
+                fn = run_tail
+            key, sub = jax.random.split(key)
+            params, opt_state, metrics = fn(
+                params, opt_state, sub, data_arrays, log_weights,
+                jnp.asarray(start_step + done, jnp.int32),
+            )
+            losses = np.asarray(metrics["loss"])
+            done += chunk
+            if track_test:
+                last_test = float(test_nll(params))
+                for l in losses:
+                    reporter.report(l, last_test)
+            else:
+                for l in losses:
+                    reporter.report(l)
+            if progress_interval:
+                extra = f" test_nll={last_test:.4f}" if track_test else ""
+                print(f"iter {done}/{n_iter}: loss={losses[-1]:.4f}{extra}")
+            if checkpoint_dir and checkpoint_interval:
+                from ..utils.checkpoint import save_checkpoint
+
+                save_checkpoint(
+                    checkpoint_dir,
+                    start_step + done,
+                    {"params": params, "opt_state": opt_state, "step": start_step + done},
                 )
         if checkpoint_dir:
             from ..utils.checkpoint import save_checkpoint

@@ -152,3 +152,55 @@ def test_train_with_test_nll_and_checkpoint(key, tmp_path):
         jax.tree_util.tree_leaves(params), jax.tree_util.tree_leaves(restored["params"])
     ):
         assert jnp.allclose(jnp.asarray(a), jnp.asarray(b))
+
+
+def test_train_scan_on_device_loop(key):
+    """make_train_scan runs the whole loop in one executable and trains."""
+    gen, params = make_realnvp_bg(key)
+    data = bg.DataSetSampler(jax.random.normal(key, (256, 2)) + 1.4)
+    trainer = bg.KLTrainer(gen, train_energy=False)
+    run = trainer.make_train_scan(n_steps=40, batchsize_likelihood=64)
+    opt_state = trainer.init(params)
+    p2, o2, metrics = run(params, opt_state, key, data.data, None, 0)
+    losses = metrics["loss"]
+    assert losses.shape == (40,)
+    assert bool(jnp.all(jnp.isfinite(losses)))
+    # NLL should decrease over the scanned window
+    assert float(jnp.mean(losses[-10:])) < float(jnp.mean(losses[:10]))
+    # weighted draws path (categorical) also runs
+    lw = jnp.zeros((256,))
+    _, _, m2 = run(params, opt_state, key, data.data, lw, 0)
+    assert bool(jnp.all(jnp.isfinite(m2["loss"])))
+
+
+def test_train_scan_chunk_matches_schedules(key, tmp_path):
+    """train(scan_chunk=...) chunks on device, keeps step-driven schedules
+    advancing across chunk boundaries, and checkpoints at the end."""
+    from bgflow_tpu.utils.checkpoint import restore_checkpoint
+
+    gen, params = make_realnvp_bg(key)
+    data = bg.DataSetSampler(jax.random.normal(key, (256, 2)) + 1.4)
+    trainer = bg.KLTrainer(gen, train_energy=False)
+    seen = []
+
+    def w_sched(step):
+        # record trace-time only; values flow through traced steps
+        return 1.0 + 0.0 * step
+
+    ckpt = str(tmp_path / "ckpt")
+    params2, opt_state, reporter = trainer.train(
+        params,
+        key,
+        n_iter=25,
+        data=data,
+        batchsize=64,
+        w_likelihood=w_sched,
+        scan_chunk=10,
+        checkpoint_dir=ckpt,
+    )
+    losses = reporter.losses()[0]
+    assert len(losses) == 25
+    import numpy as np
+
+    assert np.all(np.isfinite(losses))
+    assert restore_checkpoint(ckpt)["step"] == 25
