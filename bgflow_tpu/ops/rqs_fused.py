@@ -40,7 +40,6 @@ from .rqs import (
     DEFAULT_MIN_BIN_HEIGHT,
     DEFAULT_MIN_BIN_WIDTH,
     DEFAULT_MIN_DERIVATIVE,
-    rq_spline,
 )
 from .rqs_pallas import _rqs_math
 
@@ -192,30 +191,54 @@ def _fused_core(config, x, h, W, b):
 
 
 def _fused_reference(config, x, h, W, b):
-    """Identical function through XLA (packed rq_spline); exact VJP source."""
+    """Identical function through plain XLA; exact VJP source.
+
+    Runs the kernel's own ``_rqs_math`` on dense feature-major (Dp, B)
+    tiles — the SAME op sequence as the Pallas forward, and a layout with
+    batch on the lane axis.  (An earlier version went through the packed
+    ``rq_spline`` whose (B, D, K) tensors lane-pad K=8 -> 128, a 16x
+    bandwidth/VPU tax that made the training backward ~400x slower per
+    sample than the fused forward.)
+    """
     cfg = dict(config)
     y_dim = cfg.pop("y_dim")
     num_bins = cfg.pop("num_bins")
     cfg.pop("lanes")
     cfg.pop("interpret")
     matmul_dtype = cfg.pop("matmul_dtype")
+    identity_init = cfg.pop("identity_init")
     B, D = x.shape
     Dp = _round_up(D, 8)
     K = num_bins
     if matmul_dtype is not None:
-        raw = jnp.dot(
-            h.astype(matmul_dtype),
+        raw = jax.lax.dot_general(
             W.astype(matmul_dtype),
+            h.astype(matmul_dtype),
+            (((0,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
     else:
-        raw = jnp.dot(h, W, preferred_element_type=jnp.float32)
-    raw = raw + b  # (B, R)
-    w = raw[:, : K * Dp].reshape(B, K, Dp)[:, :, :D].transpose(0, 2, 1)
-    hh = raw[:, K * Dp : 2 * K * Dp].reshape(B, K, Dp)[:, :, :D].transpose(0, 2, 1)
-    s = raw[:, 2 * K * Dp :].reshape(B, K + 1, Dp)[:, :, :D].transpose(0, 2, 1)
-    y, ldj = rq_spline(x, w, hh, s, **cfg)
-    return y, jnp.sum(ldj, axis=-1)
+        raw = jax.lax.dot_general(
+            W, h, (((0,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )
+    raw = raw + b[:, None]  # (R, B)
+    mid = 0.5 * (cfg["left"] + cfg["right"])
+    xT = jnp.concatenate(
+        [x.T, jnp.full((Dp - D, B), mid, x.dtype)], axis=0
+    ) if Dp != D else x.T
+    shift = (
+        float(np.log(np.expm1(1.0 - cfg["min_derivative"])))
+        if identity_init
+        else 0.0
+    )
+    y, ldj = _rqs_math(
+        xT,
+        [raw[k * Dp : (k + 1) * Dp] for k in range(K)],
+        [raw[(K + k) * Dp : (K + k + 1) * Dp] for k in range(K)],
+        [raw[(2 * K + k) * Dp : (2 * K + k + 1) * Dp] for k in range(K + 1)],
+        shift=shift, num_bins=K, **cfg,
+    )
+    return y[:D].T, jnp.sum(ldj[:D], axis=0)
 
 
 def _fused_fwd(config, x, h, W, b):

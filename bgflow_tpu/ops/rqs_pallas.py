@@ -501,20 +501,31 @@ def _rqs_slab2_core(config, x, raw_t):
 
 
 def _slab2_reference(config, x, raw_t):
-    """Identical function through the packed XLA spline (exact VJP source)."""
+    """Identical function through plain XLA (exact VJP source).
+
+    Uses the kernel's own ``_rqs_math`` on feature-major (D, B) tiles —
+    same op sequence as the Pallas forward and a dense lane layout (the
+    packed (B, D, K) route lane-pads K -> 128, a 16x tax)."""
     cfg = dict(config)
     y_dim = cfg.pop("y_dim")
     num_bins = cfg.pop("num_bins")
     cfg.pop("block_rows")
     cfg.pop("interpret")
+    identity_init = cfg.pop("identity_init")
     K, D = num_bins, y_dim
-    raw = raw_t.T  # (B, (3K+1)*D), k-major d-minor per channel
-    B = raw.shape[0]
-    w = raw[:, : K * D].reshape(B, K, D).transpose(0, 2, 1)
-    h = raw[:, K * D : 2 * K * D].reshape(B, K, D).transpose(0, 2, 1)
-    slopes = raw[:, 2 * K * D :].reshape(B, K + 1, D).transpose(0, 2, 1)
-    y, ldj = rq_spline(x, w, h, slopes, **cfg)
-    return y, jnp.sum(ldj, axis=-1)
+    shift = (
+        float(np.log(np.expm1(1.0 - cfg["min_derivative"])))
+        if identity_init
+        else 0.0
+    )
+    y, ldj = _rqs_math(
+        x.T,
+        [raw_t[k * D : (k + 1) * D] for k in range(K)],
+        [raw_t[(K + k) * D : (K + k + 1) * D] for k in range(K)],
+        [raw_t[(2 * K + k) * D : (2 * K + k + 1) * D] for k in range(K + 1)],
+        shift=shift, num_bins=K, **cfg,
+    )
+    return y.T, jnp.sum(ldj, axis=0)
 
 
 def _rqs_slab2_fwd(config, x, raw_t):
