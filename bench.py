@@ -92,7 +92,11 @@ def measure_sampling(gen, params, key, n, iters=10):
     def run(params, key, m):
         def body(i, acc):
             x = gen.sample(params, jax.random.fold_in(key, i), n).xs[0]
-            return acc + jnp.where(jnp.isfinite(x[0, :]).all(), x[0, 0], jnp.nan)
+            # consume the WHOLE output (mean forces every element to be
+            # computed — consuming one row would let XLA skip part of the
+            # final epilogue) and poison the accumulator on non-finite
+            s = jnp.mean(x).astype(jnp.float32)
+            return acc + jnp.where(jnp.isfinite(s), s * 1e-6, jnp.nan)
         return jax.lax.fori_loop(0, m, body, jnp.float32(0.0))
 
     base = 2

@@ -227,8 +227,18 @@ class RelativeInternalCoordinateTransformation(Flow):
         dlogp = dlogp + jnp.sum(icops.placement_logdet(bonds, angles, self.eps), axis=-1)
 
         if self.use_pallas:
-            from ..ops.ic_pallas import ic_reconstruct_pallas
+            from ..ops.ic_pallas import ic_reconstruct_pallas, ic_reconstruct_pallas_wide
 
+            if n_batch % 8 == 0:
+                # wide layout: batch on (8 sublanes x lanes) — every
+                # placement op runs at full VPU width
+                pts = ic_reconstruct_pallas_wide(
+                    bonds, angles, torsions, x_init.reshape(n_batch, -1),
+                    self._pallas_plan, n_total, eps=self.eps,
+                )  # (n_total*3, 8, B/8) recon order
+                pts = pts.reshape(n_total, 3, 8, n_batch // 8)
+                pts = jnp.transpose(pts[self._atom2index], (2, 3, 0, 1))
+                return (pts.reshape(n_batch, -1),), dlogp
             fixed_t = x_init.reshape(n_batch, -1).T  # (n_fixed*3, B)
             pts = ic_reconstruct_pallas(
                 bonds_t, angles_t, torsions_t, fixed_t,

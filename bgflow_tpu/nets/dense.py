@@ -123,6 +123,12 @@ class DenseNet(Net):
                 x = act(x)
         return x
 
+    def fused_mlp_spec(self, params, x):
+        """(x_in, layers, activations) for the fully-fused coupling kernel
+        (``ops/rqs_fused.py::rqs_fused_mlp``): the kernel runs the whole
+        MLP on the MXU with VMEM-resident weights."""
+        return x, tuple((p["w"], p["b"]) for p in params), self.activations
+
     def apply_transposed(self, params, x, row_order=None):
         """``apply`` with the output emitted feature-major: (dim_out, B).
 
@@ -174,6 +180,15 @@ class MeanFreeDenseNet(DenseNet):
         y = super().apply(params, x)
         return y - jnp.mean(y, axis=-1, keepdims=True)
 
+    def _no_fused(self, params, x, **kwargs):
+        # the mean-free output projection happens AFTER the final layer, so
+        # the split-at-last-layer fused paths cannot represent this net
+        raise NotImplementedError("MeanFreeDenseNet has no fused-kernel form")
+
+    apply_trunk = _no_fused
+    apply_transposed = _no_fused
+    fused_mlp_spec = _no_fused
+
 
 class WrapPeriodic(Net):
     """sin/cos-embed circular input features before feeding the net.
@@ -217,6 +232,14 @@ class WrapPeriodic(Net):
         arg = 2 * jnp.pi * (y - self.left) / (self.right - self.left)
         x = jnp.concatenate([jnp.cos(arg), jnp.sin(arg), x[..., other]], axis=-1)
         return self.net.apply_trunk(params, x)
+
+    def fused_mlp_spec(self, params, x):
+        idx = np.arange(x.shape[-1])[self.indices]
+        other = np.setdiff1d(np.arange(x.shape[-1]), idx)
+        y = x[..., idx]
+        arg = 2 * jnp.pi * (y - self.left) / (self.right - self.left)
+        x = jnp.concatenate([jnp.cos(arg), jnp.sin(arg), x[..., other]], axis=-1)
+        return self.net.fused_mlp_spec(params, x)
 
 
 class WrapDistances(Net):

@@ -28,7 +28,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["ic_reconstruct_pallas"]
+__all__ = ["ic_reconstruct_pallas", "ic_reconstruct_pallas_wide"]
 
 
 def _reconstruct_kernel(
@@ -42,11 +42,15 @@ def _reconstruct_kernel(
     n_fixed: int,
     eps: float,
 ):
-    # copy fixed atoms straight through (they are the first rows)
-    out_ref[: 3 * n_fixed, :] = fixed_ref[:, :]
+    # copy fixed atoms straight through (they are the first rows).  Refs are
+    # (rows, lanes) in the legacy layout or (rows, 8, lanes) in the wide
+    # layout — row slices give (lanes,) / (8, lanes) values; the math below
+    # is shape-agnostic.  The wide layout fills all 8 VPU sublanes (a
+    # (1, lanes) row computes at 1/8 of VPU width).
+    out_ref[: 3 * n_fixed] = fixed_ref[...]
 
     def get_point(i):
-        return out_ref[3 * i, :], out_ref[3 * i + 1, :], out_ref[3 * i + 2, :]
+        return out_ref[3 * i], out_ref[3 * i + 1], out_ref[3 * i + 2]
 
     def sub(a, b):
         return (a[0] - b[0], a[1] - b[1], a[2] - b[2])
@@ -67,9 +71,9 @@ def _reconstruct_kernel(
             p1 = get_point(c1)
             p2 = get_point(c2)
             p3 = get_point(c3)
-            d = bonds_ref[ic_row, :]
-            a = angles_ref[ic_row, :]
-            t = torsions_ref[ic_row, :]
+            d = bonds_ref[ic_row]
+            a = angles_ref[ic_row]
+            t = torsions_ref[ic_row]
 
             v1 = sub(p1, p2)
             v2 = sub(p1, p3)
@@ -85,7 +89,7 @@ def _reconstruct_kernel(
             d_sin_a = d * jnp.sin(a)
             d_cos_a = d * jnp.cos(a)
             for k in range(3):
-                out_ref[3 * out_idx + k, :] = (
+                out_ref[3 * out_idx + k] = (
                     p1[k] + d_sin_a * v3_hat[k] - d_cos_a * v1_hat[k]
                 )
 
@@ -137,6 +141,68 @@ def ic_reconstruct_pallas(
         interpret=interpret,
     )(bonds_t, angles_t, torsions_t, fixed_t)
     return out[:, :b]
+
+
+def ic_reconstruct_pallas_wide(
+    bonds,
+    angles,
+    torsions,
+    fixed_flat,
+    plan,
+    n_total: int,
+    eps: float = 1e-7,
+    block_lanes: int = 512,
+    interpret=None,
+):
+    """Wide-layout fused reconstruction: batch rides (8 sublanes x lanes).
+
+    Inputs are BATCH-major — bonds/angles/torsions (B, D), fixed_flat
+    (B, n_fixed*3) — with B divisible by 8; each scalar row becomes an
+    (8, B/8) tile so every placement op runs at full VPU width (the legacy
+    (rows, B) layout computes on (1, lanes) rows at 1/8 width).  Returns
+    points (n_total*3, 8, B/8) in reconstruction order.
+    """
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    B = bonds.shape[0]
+    assert B % 8 == 0, "wide layout needs batch divisible by 8"
+    S = B // 8
+    dtype = jnp.result_type(bonds.dtype, fixed_flat.dtype)
+
+    def to_wide(x):
+        # (B, D) -> (D, 8, B/8): one XLA transpose, no intermediate (D, B)
+        return jnp.transpose(x.astype(dtype).reshape(8, S, x.shape[-1]), (2, 0, 1))
+
+    bonds_w, angles_w, torsions_w, fixed_w = map(
+        to_wide, (bonds, angles, torsions, fixed_flat)
+    )
+    n_pad = (-S) % block_lanes
+    if n_pad:
+        pad = lambda x: jnp.pad(
+            x, ((0, 0), (0, 0), (0, n_pad)), constant_values=1.0
+        )
+        bonds_w, angles_w, torsions_w, fixed_w = map(
+            pad, (bonds_w, angles_w, torsions_w, fixed_w)
+        )
+    n_cols = S + n_pad
+
+    kernel = functools.partial(
+        _reconstruct_kernel, plan=plan, n_fixed=fixed_flat.shape[-1] // 3, eps=eps
+    )
+    grid = (n_cols // block_lanes,)
+    spec = lambda rows: pl.BlockSpec(
+        (rows, 8, block_lanes), lambda i: (0, 0, i), memory_space=pltpu.VMEM
+    )
+    d_rows = bonds.shape[-1]
+    out = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[spec(d_rows), spec(d_rows), spec(d_rows), spec(fixed_flat.shape[-1])],
+        out_specs=spec(3 * n_total),
+        out_shape=jax.ShapeDtypeStruct((3 * n_total, 8, n_cols), dtype),
+        interpret=interpret,
+    )(bonds_w, angles_w, torsions_w, fixed_w)
+    return out[:, :, :S]
 
 
 def build_plan(blocks, atom2index, index2order, n_fixed: int):

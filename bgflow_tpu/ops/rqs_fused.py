@@ -43,7 +43,7 @@ from .rqs import (
 )
 from .rqs_pallas import _rqs_math
 
-__all__ = ["rqs_fused_coupling", "fused_row_order"]
+__all__ = ["rqs_fused_coupling", "rqs_fused_mlp", "fused_row_order"]
 
 
 def _round_up(v: int, m: int) -> int:
@@ -83,13 +83,9 @@ def fused_row_order(y_dim: int, num_bins: int, noncircular_indices=(), d_pad=Non
 
 
 def _fused_kernel(
-    h_ref,    # (C, H)  trunk activations (batch on sublanes)
-    w_ref,    # (H, R)  permuted final weights
-    b_ref,    # (R, 1)  permuted final bias
-    x_ref,    # (Dp, C) transposed inputs (batch on lanes)
-    y_ref,    # (Dp, C)
-    ldj_ref,  # (1, C)
-    *,
+    *refs,
+    n_layers: int,
+    activations,
     inverse: bool,
     left: float,
     right: float,
@@ -104,17 +100,41 @@ def _fused_kernel(
     d_pad: int,
     matmul_dtype,
 ):
+    """refs: h (C, F) activations-in, then (W, b) per layer (trunk biases
+    (1, out), final bias (R, 1)), then x (Dp, C); outs y (Dp, C), ldj (1, C).
+
+    The whole conditioner MLP runs on the MXU with weights VMEM-resident;
+    only the first-layer input ever comes from HBM.
+    """
+    h_ref = refs[0]
+    layer_refs = refs[1 : 1 + 2 * n_layers]
+    x_ref = refs[1 + 2 * n_layers]
+    y_ref, ldj_ref = refs[2 + 2 * n_layers], refs[3 + 2 * n_layers]
     K, Dp = num_bins, d_pad
+
+    def cast(a):
+        return a.astype(matmul_dtype) if matmul_dtype is not None else a
+
     hb = h_ref[...]
-    W = w_ref[...]
-    if matmul_dtype is not None:
-        hb = hb.astype(matmul_dtype)
-        W = W.astype(matmul_dtype)
-    # raw spline logits for this batch chunk, entirely in VMEM: (R, C)
+    # trunk layers: (C, f_in) @ (f_in, f_out) + b, activation
+    for li in range(n_layers - 1):
+        W = layer_refs[2 * li][...]
+        b = layer_refs[2 * li + 1][...]
+        hb = jax.lax.dot_general(
+            cast(hb), cast(W), (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) + b
+        act = activations[li]
+        if act is not None:
+            hb = act(hb)
+    # final layer emitted feature-major: (R, C)
+    Wf = layer_refs[2 * (n_layers - 1)][...]
+    bf = layer_refs[2 * (n_layers - 1) + 1][...]
     raw = jax.lax.dot_general(
-        W, hb, (((0,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        cast(Wf), cast(hb), (((0,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
     )
-    raw = raw + b_ref[...]
+    raw = raw + bf
 
     w = [raw[k * Dp : (k + 1) * Dp] for k in range(K)]
     h = [raw[(K + k) * Dp : (K + k + 1) * Dp] for k in range(K)]
@@ -132,7 +152,7 @@ def _fused_kernel(
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
-def _fused_core(config, x, h, W, b):
+def _fused_core(config, x, h, layers):
     cfg = dict(config)
     y_dim = cfg.pop("y_dim")
     num_bins = cfg.pop("num_bins")
@@ -140,15 +160,17 @@ def _fused_core(config, x, h, W, b):
     interpret = cfg.pop("interpret")
     matmul_dtype = cfg.pop("matmul_dtype")
     identity_init = cfg.pop("identity_init")
+    activations = cfg.pop("activations")
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
 
     B, D = x.shape
-    H = h.shape[-1]
+    n_layers = len(layers)
     Dp = _round_up(D, 8)
     K = num_bins
     R = (3 * K + 1) * Dp
-    assert W.shape == (H, R) and b.shape == (R,), (W.shape, b.shape, (H, R))
+    Wf, bf = layers[-1]
+    assert Wf.shape[-1] == R and bf.shape == (R,), (Wf.shape, bf.shape, R)
 
     C = lanes
     B_pad = _round_up(B, C)
@@ -164,19 +186,32 @@ def _fused_core(config, x, h, W, b):
 
     kernel = functools.partial(
         _fused_kernel,
+        n_layers=n_layers, activations=activations,
         shift=shift, num_bins=K, y_dim=D, d_pad=Dp,
         matmul_dtype=matmul_dtype, **cfg,
     )
     grid = (B_pad // C,)
+    const = lambda shape: pl.BlockSpec(
+        shape, lambda j: tuple(0 for _ in shape), memory_space=pltpu.VMEM
+    )
+    in_specs = [pl.BlockSpec((C, h.shape[-1]), lambda j: (j, 0), memory_space=pltpu.VMEM)]
+    operands = [hP]
+    for li, (W, b) in enumerate(layers):
+        in_specs.append(const(W.shape))
+        operands.append(W)
+        if li < n_layers - 1:
+            in_specs.append(const((1, b.shape[0])))
+            operands.append(b[None, :])
+        else:
+            in_specs.append(const((R, 1)))
+            operands.append(b[:, None])
+    in_specs.append(pl.BlockSpec((Dp, C), lambda j: (0, j), memory_space=pltpu.VMEM))
+    operands.append(xT)
+
     yT, ldj = pl.pallas_call(
         kernel,
         grid=grid,
-        in_specs=[
-            pl.BlockSpec((C, H), lambda j: (j, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((H, R), lambda j: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((R, 1), lambda j: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((Dp, C), lambda j: (0, j), memory_space=pltpu.VMEM),
-        ],
+        in_specs=in_specs,
         out_specs=(
             pl.BlockSpec((Dp, C), lambda j: (0, j), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, C), lambda j: (0, j), memory_space=pltpu.VMEM),
@@ -186,19 +221,20 @@ def _fused_core(config, x, h, W, b):
             jax.ShapeDtypeStruct((1, B_pad), x.dtype),
         ),
         interpret=interpret,
-    )(hP, W, b[:, None], xT)
+    )(*operands)
     return yT[:D, :B].T, ldj[0, :B]
 
 
-def _fused_reference(config, x, h, W, b):
+def _fused_reference(config, x, h, layers):
     """Identical function through plain XLA; exact VJP source.
 
-    Runs the kernel's own ``_rqs_math`` on dense feature-major (Dp, B)
-    tiles — the SAME op sequence as the Pallas forward, and a layout with
-    batch on the lane axis.  (An earlier version went through the packed
-    ``rq_spline`` whose (B, D, K) tensors lane-pad K=8 -> 128, a 16x
-    bandwidth/VPU tax that made the training backward ~400x slower per
-    sample than the fused forward.)
+    Runs the MLP with the same cast semantics, then the kernel's own
+    ``_rqs_math`` on dense feature-major (Dp, B) tiles — the SAME op
+    sequence as the Pallas forward, and a layout with batch on the lane
+    axis.  (An earlier version went through the packed ``rq_spline`` whose
+    (B, D, K) tensors lane-pad K=8 -> 128, a 16x bandwidth/VPU tax that
+    made the training backward ~400x slower per sample than the fused
+    forward.)
     """
     cfg = dict(config)
     y_dim = cfg.pop("y_dim")
@@ -207,21 +243,25 @@ def _fused_reference(config, x, h, W, b):
     cfg.pop("interpret")
     matmul_dtype = cfg.pop("matmul_dtype")
     identity_init = cfg.pop("identity_init")
+    activations = cfg.pop("activations")
     B, D = x.shape
     Dp = _round_up(D, 8)
     K = num_bins
-    if matmul_dtype is not None:
-        raw = jax.lax.dot_general(
-            W.astype(matmul_dtype),
-            h.astype(matmul_dtype),
-            (((0,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-    else:
-        raw = jax.lax.dot_general(
-            W, h, (((0,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        )
-    raw = raw + b[:, None]  # (R, B)
+
+    def cast(a):
+        return a.astype(matmul_dtype) if matmul_dtype is not None else a
+
+    for li, (W, b) in enumerate(layers[:-1]):
+        h = jnp.dot(cast(h), cast(W), preferred_element_type=jnp.float32) + b
+        act = activations[li]
+        if act is not None:
+            h = act(h)
+    Wf, bf = layers[-1]
+    raw = jax.lax.dot_general(
+        cast(Wf), cast(h), (((0,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    raw = raw + bf[:, None]  # (R, B)
     mid = 0.5 * (cfg["left"] + cfg["right"])
     xT = jnp.concatenate(
         [x.T, jnp.full((Dp - D, B), mid, x.dtype)], axis=0
@@ -241,15 +281,15 @@ def _fused_reference(config, x, h, W, b):
     return y[:D].T, jnp.sum(ldj[:D], axis=0)
 
 
-def _fused_fwd(config, x, h, W, b):
-    return _fused_core(config, x, h, W, b), (x, h, W, b)
+def _fused_fwd(config, x, h, layers):
+    return _fused_core(config, x, h, layers), (x, h, layers)
 
 
 def _fused_bwd(config, residuals, cotangents):
-    x, h, W, b = residuals
+    x, h, layers = residuals
     _, vjp = jax.vjp(
-        lambda xx, hh, ww, bb: _fused_reference(config, xx, hh, ww, bb),
-        x, h, W, b,
+        lambda xx, hh, ll: _fused_reference(config, xx, hh, ll),
+        x, h, layers,
     )
     return vjp(cotangents)
 
@@ -257,12 +297,12 @@ def _fused_bwd(config, residuals, cotangents):
 _fused_core.defvjp(_fused_fwd, _fused_bwd)
 
 
-def rqs_fused_coupling(
+def rqs_fused_mlp(
     x,
-    h,
-    W,
-    b,
+    x_in,
+    layers,
     num_bins: int,
+    activations=(),
     inverse: bool = False,
     left: float = 0.0,
     right: float = 1.0,
@@ -276,17 +316,21 @@ def rqs_fused_coupling(
     lanes: int = 1024,
     interpret=None,
 ):
-    """Fused (final matmul + RQ spline) conditional coupling.
+    """Fully-fused (conditioner MLP + RQ spline) conditional coupling.
 
-    ``x``: (B, D) values to transform; ``h``: (B, H) trunk activations;
-    ``W``: (H, (3*num_bins+1)*round_up(D,8)) final weights with columns in
-    ``fused_row_order``; ``b``: matching bias.  Returns (y (B, D),
-    summed ldj (B,)).  Differentiable (Pallas forward, exact XLA-vjp
-    backward through the packed reference).
+    ``x``: (B, D) values to transform; ``x_in``: (B, F) conditioner input
+    (post-embedding); ``layers``: tuple of (W, b) pairs — every weight
+    matrix stays VMEM-resident and the whole MLP runs on the MXU inside
+    the kernel.  The FINAL layer's weight columns must be in
+    ``fused_row_order`` (R = (3*num_bins+1)*round_up(D,8) outputs);
+    ``activations``: one callable (or None) per trunk layer.  Returns
+    (y (B, D), summed ldj (B,)).  Differentiable (Pallas forward, exact
+    XLA-vjp backward through the dense reference).
     """
     config = (
         ("y_dim", int(x.shape[-1])),
         ("num_bins", int(num_bins)),
+        ("activations", tuple(activations)),
         ("inverse", inverse), ("left", left), ("right", right),
         ("bottom", bottom), ("top", top),
         ("min_bin_width", min_bin_width), ("min_bin_height", min_bin_height),
@@ -294,4 +338,12 @@ def rqs_fused_coupling(
         ("matmul_dtype", None if matmul_dtype is None else jnp.dtype(matmul_dtype).name),
         ("lanes", int(lanes)), ("interpret", interpret),
     )
-    return _fused_core(config, x, h, W, b)
+    layers = tuple((W, b) for (W, b) in layers)
+    return _fused_core(config, x, x_in, layers)
+
+
+def rqs_fused_coupling(x, h, W, b, num_bins: int, **kwargs):
+    """Single-layer convenience wrapper over :func:`rqs_fused_mlp`:
+    ``h`` are precomputed trunk activations and (W, b) the slab-ordered
+    final layer."""
+    return rqs_fused_mlp(x, h, ((W, b),), num_bins, activations=(), **kwargs)

@@ -119,30 +119,45 @@ class ConditionalSplineTransformer(Transformer):
                         f"params_net output ({out_dim}) does not match "
                         f"y_dim*3*n_bins + n_noncircular = {y_dim}*3*{n_bins} + {n_noncirc}"
                     )
+                hact = None
                 if hasattr(self.params_net, "apply_trunk"):
-                    # fully-fused path: the kernel performs the final matmul
-                    # itself, so the (3*K*D, B) raw-parameter tensor never
-                    # touches HBM (ops/rqs_fused.py)
+                    try:
+                        # trunk in XLA (overlaps with neighboring work),
+                        # final matmul + whole spline fused in one Pallas
+                        # kernel so the (3*K*D, B) raw-parameter tensor
+                        # never touches HBM (ops/rqs_fused.py).  Fusing the
+                        # trunk matmuls into the kernel too was measured
+                        # SLOWER (the (B, F) conditioner input is
+                        # lane-padded to (B, 128) in HBM regardless, so
+                        # nothing is saved and the in-kernel matmuls
+                        # serialize against the spline VPU work).
+                        hact = self.params_net.apply_trunk(params, x)
+                    except NotImplementedError:
+                        hact = None
+                if hact is not None:
                     from ..ops.rqs_fused import fused_row_order, rqs_fused_coupling
 
+                    mm_dtype = self._net_compute_dtype()
+                    if mm_dtype is not None:
+                        # the kernel casts h to the matmul dtype anyway;
+                        # storing it pre-cast halves its HBM round trip
+                        # with bit-identical results
+                        hact = hact.astype(mm_dtype)
                     order = fused_row_order(
                         y_dim, n_bins, self._noncircular_indices(y_dim)
                     )
-                    hact = self.params_net.apply_trunk(params, x)
-                    W = params[-1]["w"][:, order]
-                    b = params[-1]["b"][order]
                     return rqs_fused_coupling(
                         y,
                         hact,
-                        W,
-                        b,
+                        params[-1]["w"][:, order],
+                        params[-1]["b"][order],
                         num_bins=n_bins,
                         inverse=spline_inverse,
                         left=self.left,
                         right=self.right,
                         bottom=self.bottom,
                         top=self.top,
-                        matmul_dtype=self._net_compute_dtype(),
+                        matmul_dtype=mm_dtype,
                     )
                 order = slab_row_order(
                     y_dim, n_bins, self._noncircular_indices(y_dim)

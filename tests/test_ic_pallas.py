@@ -36,3 +36,19 @@ def test_pallas_mixed_transform(key):
     (x_pal,), ld_pal = mixed_pal.forward((), ics, inverse=True)
     assert_close(x_pal, x_ref, 1e-4)
     assert_close(ld_pal, ld_ref, 1e-4)
+
+
+def test_pallas_wide_and_legacy_layouts_agree(key):
+    """Batch % 8 == 0 takes the wide (8-sublane) layout, other batches the
+    legacy (rows, B) layout; both must match the XLA path."""
+    flow_ref = bg.RelativeInternalCoordinateTransformation(ALA2_Z_MATRIX, ALA2_FIXED)
+    flow_pal = bg.RelativeInternalCoordinateTransformation(
+        ALA2_Z_MATRIX, ALA2_FIXED, use_pallas=True
+    )
+    for n in (16, 13):  # wide, legacy
+        x = _random_ala2_xyz(jax.random.fold_in(key, n), n, jnp.float32)
+        ics, _ = flow_ref.forward((), (x,))
+        (x_ref,), ld_ref = flow_ref.forward((), ics, inverse=True)
+        (x_pal,), ld_pal = flow_pal.forward((), ics, inverse=True)
+        assert_close(x_pal, x_ref, 1e-5)
+        assert_close(ld_pal, ld_ref, 1e-5)

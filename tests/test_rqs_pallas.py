@@ -271,14 +271,14 @@ def test_fused_coupling_matches_reference(key, inverse):
         x, h, W, b, num_bins=K, inverse=inverse, lanes=128, interpret=True
     )
     config = (
-        ("y_dim", D), ("num_bins", K),
+        ("y_dim", D), ("num_bins", K), ("activations", ()),
         ("inverse", inverse), ("left", 0.0), ("right", 1.0),
         ("bottom", 0.0), ("top", 1.0),
         ("min_bin_width", 1e-3), ("min_bin_height", 1e-3),
         ("min_derivative", 1e-3), ("identity_init", True),
         ("matmul_dtype", None), ("lanes", 128), ("interpret", True),
     )
-    y_ref, ldj_ref = _fused_reference(config, x, h, W, b)
+    y_ref, ldj_ref = _fused_reference(config, x, h, ((W, b),))
     assert_close(y, y_ref, 1e-5)
     assert_close(ldj, ldj_ref, 1e-4)
 
@@ -324,3 +324,70 @@ def test_fused_coupling_gradients(key):
         fd = (lp - lm) / (2 * eps)
         g = float(grads[argi][idx])
         assert abs(g - float(fd)) < 3e-2 * max(1.0, abs(float(fd))), (argi, g, fd)
+
+
+@pytest.mark.parametrize("inverse", [False, True], ids=["fwd", "inv"])
+def test_fused_mlp_matches_transformer_xla(key, inverse):
+    """The fully-fused MLP+spline kernel (via fused_mlp_spec) agrees with
+    the plain XLA transformer of the same parameters, including bf16
+    matmul mode within loose tolerance."""
+    import bgflow_tpu as bg
+    from bgflow_tpu.ops.rqs_fused import fused_row_order, rqs_fused_mlp
+
+    D_out, D_in, K = 5, 4, 8
+    is_circ = jnp.asarray([True, False, True, True, False])
+    n_out = D_out * 3 * K + 2
+    net = bg.WrapPeriodic(bg.DenseNet([2 * 2 + 2, 32, 16, n_out]), indices=[0, 2])
+    t_xla = bg.ConditionalSplineTransformer(net, is_circular=is_circ)
+    params = t_xla.init(key)
+    x = jax.random.normal(jax.random.PRNGKey(1), (23, D_in))
+    y = jax.random.uniform(jax.random.PRNGKey(2), (23, D_out), minval=0.01, maxval=0.99)
+
+    x_in, layers, acts = net.fused_mlp_spec(params, x)
+    order = fused_row_order(D_out, K, t_xla._noncircular_indices(D_out))
+    Wf, bf = layers[-1]
+    layers = layers[:-1] + ((Wf[:, order], bf[order]),)
+    z2, l2 = rqs_fused_mlp(
+        y, x_in, layers, num_bins=K, activations=acts,
+        inverse=inverse, lanes=128, interpret=True,
+    )
+    fwd = t_xla._forward if inverse else t_xla._inverse
+    z1, l1 = fwd(params, x, y)
+    assert_close(z1, z2, 1e-5)
+    assert_close(l1, l2, 1e-4)
+
+
+def test_fused_mlp_gradients(key):
+    """Gradients of the fused MLP+spline path match finite differences
+    through every layer's weights."""
+    import bgflow_tpu as bg
+    from bgflow_tpu.ops.rqs_fused import fused_row_order, rqs_fused_mlp
+
+    D, K, F = 3, 4, 6
+    n_out = D * 3 * K + D
+    net = bg.DenseNet([F, 16, n_out])
+    params = net.init(key)
+    x = jax.random.uniform(jax.random.PRNGKey(1), (9, D), minval=0.05, maxval=0.95)
+    xc = 0.5 * jax.random.normal(jax.random.PRNGKey(2), (9, F))
+    order = fused_row_order(D, K, tuple(range(D)))
+
+    def loss(params):
+        x_in, layers, acts = net.fused_mlp_spec(params, xc)
+        Wf, bf = layers[-1]
+        layers = layers[:-1] + ((Wf[:, order], bf[order]),)
+        y, ldj = rqs_fused_mlp(
+            x, x_in, layers, num_bins=K, activations=acts, lanes=128, interpret=True
+        )
+        return jnp.sum(y**2) + jnp.sum(ldj)
+
+    grads = jax.grad(loss)(params)
+    eps = 1e-3
+    for li, idx in [(0, (2, 5)), (1, (7, 11))]:
+        p = jax.tree_util.tree_map(lambda a: a, params)
+        p[li]["w"] = params[li]["w"].at[idx].add(eps)
+        lp = loss(p)
+        p[li]["w"] = params[li]["w"].at[idx].add(-eps)
+        lm = loss(p)
+        fd = (lp - lm) / (2 * eps)
+        g = float(grads[li]["w"][idx])
+        assert abs(g - float(fd)) < 3e-2 * max(1.0, abs(float(fd))), (li, g, fd)
