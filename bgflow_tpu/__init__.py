@@ -171,6 +171,6 @@ from .flows.circular import CircularTransform, ConditionalCircularTransform
 from .utils.permutation import HungarianMapper
 from .utils.trajectory import save_pdb_trajectory, save_xyz_trajectory, NumpyReporter
 from .utils.serving import export_sampler, export_energy, save_exported, load_exported
-from .nets.gnn import InvariantGNN, GNNConditioner
+from .nets.gnn import InvariantGNN, EquivariantGNN, GNNConditioner
 
 __version__ = "0.1.0"

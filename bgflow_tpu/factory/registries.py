@@ -46,6 +46,7 @@ def _make_gnn_conditioner(
     gnn_out=64,
     r_max=1.0,
     attention_heads=0,
+    gnn_type="invariant",
     **kwargs,
 ):
     """E(3)-invariant GNN on the cartesian conditioner inputs (the
@@ -69,6 +70,7 @@ def _make_gnn_conditioner(
         r_max=r_max,
         activation=activation,
         attention_heads=attention_heads,
+        gnn_type=gnn_type,
     )
 
 

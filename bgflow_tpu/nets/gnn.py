@@ -23,7 +23,7 @@ import jax.numpy as jnp
 from ..ops.rbf import kernelize_with_rbf
 from .dense import DenseNet, Net
 
-__all__ = ["InvariantGNN", "GNNConditioner"]
+__all__ = ["InvariantGNN", "EquivariantGNN", "GNNConditioner"]
 
 
 class InvariantGNN(Net):
@@ -136,6 +136,150 @@ class InvariantGNN(Net):
         return self.readout.apply(params["readout"], jnp.mean(h, axis=1))
 
 
+class EquivariantGNN(Net):
+    """E(3)-equivariant message passing with scalar + vector node channels.
+
+    PaiNN-style architecture (polarizable atom interaction network): each
+    node carries invariant scalars s (B, N, F) and equivariant vectors
+    v (B, N, F, 3).  Messages are continuous-filter convolutions — an RBF
+    filter of the distance gates an MLP of the neighbor scalars, and the
+    vector channel receives both the neighbor's vectors and the edge
+    direction — followed by a gated node update that mixes vector channels
+    through two feature-space linear maps (U, V) and their invariant
+    products.  The readout is invariant ([s, |v|] -> MLP -> mean pool), so
+    the whole net is E(3)-invariant end-to-end while propagating l=1
+    geometric information internally — the capability class of the
+    reference's nequip/allegro conditioners
+    (``bgflow/factory/GNN_factory.py:29-511``) without an e3nn dependency;
+    every op is a dense batched matmul or elementwise op on the MXU/VPU.
+    """
+
+    def __init__(
+        self,
+        n_atoms: int,
+        dim_out: int,
+        n_features: int = 32,
+        n_layers: int = 2,
+        n_rbf: int = 16,
+        r_max: float = 1.0,
+        activation=jax.nn.silu,
+        attention_heads: int = 0,
+        eps: float = 1e-8,
+    ):
+        self.n_atoms = n_atoms
+        self.dim_out = dim_out
+        self.n_features = n_features
+        self.n_layers = n_layers
+        self.n_rbf = n_rbf
+        self.mus = jnp.linspace(0.0, r_max, n_rbf)
+        self.gamma = r_max / n_rbf
+        self.eps = float(eps)
+        f = n_features
+        self.embed = DenseNet([n_rbf, f], activation=None)
+        # message block: phi(s_j) -> 3F gated by filter W(rbf) -> 3F
+        self.msg_phi = [
+            DenseNet([f, f, 3 * f], activation=activation) for _ in range(n_layers)
+        ]
+        self.msg_filter = [
+            DenseNet([n_rbf, 3 * f], activation=None) for _ in range(n_layers)
+        ]
+        # update block: a([s, |Vv|]) -> 3F
+        self.upd_a = [
+            DenseNet([2 * f, f, 3 * f], activation=activation) for _ in range(n_layers)
+        ]
+        self.attention_heads = int(attention_heads)
+        if self.attention_heads:
+            assert f % self.attention_heads == 0
+            self.attn_qkv = DenseNet([f, 3 * f], activation=None)
+            self.attn_out = DenseNet([f, f], activation=None)
+            self.attn_mlp = DenseNet([f, 2 * f, f], activation=activation)
+        self.readout = DenseNet([2 * f, f, dim_out], activation=activation)
+
+    def init(self, key):
+        f = self.n_features
+        keys = jax.random.split(key, 2 + 3 * self.n_layers + 3)
+        params = {
+            "embed": self.embed.init(keys[0]),
+            "msg_phi": [n.init(k) for n, k in zip(self.msg_phi, keys[1 : 1 + self.n_layers])],
+            "msg_filter": [
+                n.init(k)
+                for n, k in zip(self.msg_filter, keys[1 + self.n_layers : 1 + 2 * self.n_layers])
+            ],
+            "upd_a": [
+                n.init(k)
+                for n, k in zip(self.upd_a, keys[1 + 2 * self.n_layers : 1 + 3 * self.n_layers])
+            ],
+            # U, V: feature-space linear maps applied channelwise to vectors
+            "U": [
+                jax.random.normal(jax.random.fold_in(keys[-3], i), (f, f)) / np.sqrt(f)
+                for i in range(self.n_layers)
+            ],
+            "V": [
+                jax.random.normal(jax.random.fold_in(keys[-2], i), (f, f)) / np.sqrt(f)
+                for i in range(self.n_layers)
+            ],
+            "readout": self.readout.init(keys[-1]),
+        }
+        if self.attention_heads:
+            params["attn"] = {
+                "qkv": self.attn_qkv.init(jax.random.fold_in(keys[-1], 1)),
+                "out": self.attn_out.init(jax.random.fold_in(keys[-1], 2)),
+                "mlp": self.attn_mlp.init(jax.random.fold_in(keys[-1], 3)),
+            }
+        return params
+
+    def node_features(self, params, x):
+        """(B, n_atoms*3) -> invariant per-atom features (B, N, 2F): the
+        scalar channel plus vector norms (shared-trunk protocol, same as
+        InvariantGNN.node_features)."""
+        b = x.shape[0]
+        N, F = self.n_atoms, self.n_features
+        pos = x.reshape(b, N, 3)
+        diff = pos[:, :, None, :] - pos[:, None, :, :]  # (B, N, N, 3)
+        d2 = jnp.sum(diff * diff, axis=-1)
+        d = jnp.sqrt(d2 + self.eps)
+        dir_ij = diff / (d[..., None] + self.eps)
+        rbf = kernelize_with_rbf(d[..., None], self.mus, self.gamma)  # (B,N,N,K)
+        mask = (1.0 - jnp.eye(N))[None, :, :, None]
+
+        s = self.embed.apply(params["embed"], jnp.sum(rbf * mask, axis=2))
+        v = jnp.zeros((b, N, F, 3), x.dtype)
+        for li in range(self.n_layers):
+            # ---- message block (continuous-filter convolution)
+            phi = self.msg_phi[li].apply(params["msg_phi"][li], s)  # (B,N,3F)
+            W = self.msg_filter[li].apply(params["msg_filter"][li], rbf)  # (B,N,N,3F)
+            gated = W * phi[:, None, :, :] * mask  # gate neighbor j's features
+            g_s, g_vv, g_vd = jnp.split(gated, 3, axis=-1)  # each (B,N,N,F)
+            ds = jnp.sum(g_s, axis=2)
+            dv = jnp.sum(
+                g_vv[..., None] * v[:, None, :, :, :]
+                + g_vd[..., None] * dir_ij[:, :, :, None, :],
+                axis=2,
+            )
+            s = s + ds
+            v = v + dv
+            # ---- update block (gated equivariant node update)
+            U, V = params["U"][li], params["V"][li]
+            Uv = jnp.einsum("bnfc,fg->bngc", v, U)
+            Vv = jnp.einsum("bnfc,fg->bngc", v, V)
+            Vv_norm = jnp.sqrt(jnp.sum(Vv * Vv, axis=-1) + self.eps)
+            a = self.upd_a[li].apply(
+                params["upd_a"][li], jnp.concatenate([s, Vv_norm], axis=-1)
+            )
+            a_ss, a_sv, a_vv = jnp.split(a, 3, axis=-1)
+            s = s + a_ss + a_sv * jnp.sum(Uv * Vv, axis=-1)
+            v = v + a_vv[..., None] * Uv
+        if self.attention_heads:
+            s = s + InvariantGNN._attention(self, params["attn"], s)
+            s = s + self.attn_mlp.apply(params["attn"]["mlp"], s)
+        v_norm = jnp.sqrt(jnp.sum(v * v, axis=-1) + self.eps)
+        return jnp.concatenate([s, v_norm], axis=-1)
+
+    def apply(self, params, x):
+        h = self.node_features(params, x)
+        return self.readout.apply(params["readout"], jnp.mean(h, axis=1))
+
+
 class GNNConditioner(Net):
     """Coupling conditioner: GNN on cartesian inputs + dense head on the rest.
 
@@ -157,13 +301,15 @@ class GNNConditioner(Net):
         r_max: float = 1.0,
         activation=jax.nn.silu,
         attention_heads: int = 0,
+        gnn_type: str = "invariant",
     ):
         self.circular = np.asarray(circular_indices, dtype=int)
         self.cartesian = np.asarray(cartesian_indices, dtype=int)
         self.other = np.asarray(other_indices, dtype=int)
         assert len(self.cartesian) % 3 == 0
         n_atoms = len(self.cartesian) // 3
-        self.gnn = InvariantGNN(
+        gnn_cls = {"invariant": InvariantGNN, "equivariant": EquivariantGNN}[gnn_type]
+        self.gnn = gnn_cls(
             n_atoms, gnn_out, n_features=gnn_features, n_layers=gnn_layers, r_max=r_max,
             attention_heads=attention_heads,
         )

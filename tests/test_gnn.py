@@ -115,3 +115,94 @@ def test_gnn_shared_trunk_affine_coupling(key):
     params = gen.init(key)
     out = gen.sample(params, jax.random.PRNGKey(1), 8)
     assert bool(jnp.all(jnp.isfinite(out.xs[0])))
+
+
+def test_equivariant_gnn_invariance_and_signal(key):
+    """EquivariantGNN (PaiNN-style scalar+vector channels): readout is
+    E(3)-invariant, internal vector features carry geometric signal."""
+    from bgflow_tpu.nets.gnn import EquivariantGNN
+
+    gnn = EquivariantGNN(n_atoms=5, dim_out=8, n_features=16, n_layers=2)
+    params = gnn.init(key)
+    x = jax.random.normal(jax.random.PRNGKey(1), (7, 15))
+    y = gnn.apply(params, x)
+    assert y.shape == (7, 8)
+    assert bool(jnp.all(jnp.isfinite(y)))
+
+    # translation invariance
+    shift = jnp.tile(jnp.asarray([0.3, -0.1, 0.7]), 5)
+    assert_close(gnn.apply(params, x + shift), y, 1e-5)
+
+    # rotation invariance of the readout
+    import numpy as np
+
+    theta = 0.7
+    R = np.array(
+        [[np.cos(theta), -np.sin(theta), 0.0],
+         [np.sin(theta), np.cos(theta), 0.0],
+         [0.0, 0.0, 1.0]]
+    )
+    xr = (x.reshape(7, 5, 3) @ R.T).reshape(7, 15)
+    assert_close(gnn.apply(params, xr), y, 1e-5)
+
+    # permutation invariance of the pooled readout
+    perm = np.array([2, 0, 4, 1, 3])
+    xp = x.reshape(7, 5, 3)[:, perm].reshape(7, 15)
+    assert_close(gnn.apply(params, xp), y, 1e-5)
+
+    # the vector channel must actually contribute: zeroing the direction
+    # pathway (third filter chunk) changes the output
+    import jax as _jax
+
+    p2 = _jax.tree_util.tree_map(lambda a: a, params)
+    p2["msg_filter"] = [
+        [{**layer[0], "w": layer[0]["w"].at[:, 2 * gnn.n_features :].set(0.0),
+          "b": layer[0]["b"].at[2 * gnn.n_features :].set(0.0)}]
+        for layer in params["msg_filter"]
+    ]
+    y2 = gnn.apply(p2, x)
+    assert float(jnp.max(jnp.abs(y2 - y))) > 1e-4
+
+
+def test_equivariant_gnn_internal_equivariance(key):
+    """Internal vector features rotate with the input frame."""
+    from bgflow_tpu.nets.gnn import EquivariantGNN
+    import numpy as np
+
+    gnn = EquivariantGNN(n_atoms=4, dim_out=4, n_features=8, n_layers=1)
+    params = gnn.init(key)
+    x = jax.random.normal(jax.random.PRNGKey(3), (3, 12))
+    h = gnn.node_features(params, x)  # invariant features -> rotation fixed
+    theta = 1.1
+    R = np.array(
+        [[1.0, 0.0, 0.0],
+         [0.0, np.cos(theta), -np.sin(theta)],
+         [0.0, np.sin(theta), np.cos(theta)]]
+    )
+    xr = (x.reshape(3, 4, 3) @ R.T).reshape(3, 12)
+    hr = gnn.node_features(params, xr)
+    assert_close(hr, h, 1e-5)
+
+
+def test_equivariant_conditioner_in_builder(key):
+    """gnn_type='equivariant' flows through the conditioner factory."""
+    from bgflow_tpu.nets.gnn import GNNConditioner
+
+    cond = GNNConditioner(
+        6,
+        circular_indices=np.array([], dtype=int),
+        cartesian_indices=np.arange(12),
+        other_indices=np.array([12, 13]),
+        hidden=(16,),
+        gnn_features=8,
+        gnn_layers=1,
+        gnn_out=8,
+        gnn_type="equivariant",
+    )
+    params = cond.init(key)
+    x = jax.random.normal(jax.random.PRNGKey(5), (9, 14))
+    out = cond.apply(params, x)
+    assert out.shape == (9, 6)
+    g = jax.grad(lambda p: jnp.sum(cond.apply(p, x) ** 2))(params)
+    flat = jax.tree_util.tree_leaves(g)
+    assert all(bool(jnp.all(jnp.isfinite(a))) for a in flat)
