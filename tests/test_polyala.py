@@ -1,0 +1,83 @@
+"""Template-based poly-alanine topologies, force fields, and generators.
+
+Reference scope: the reference reaches beyond ala2 only via bgmol/OpenMM
+topologies; these tests pin the in-repo equivalent to the validated ala2
+tables and exercise the generic z-matrix + BG assembly at several chain
+lengths."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from tests.conftest import assert_close
+
+
+def test_polyala1_reproduces_ala2():
+    """ACE-ALA-NME through the template machinery == the ala2 tables."""
+    from bgflow_tpu.energies.ala2 import ALA2_ATOMS, ALA2_BONDS, ALA2_REFERENCE_XYZ, build_ala2_forcefield
+    from bgflow_tpu.energies.peptide import build_peptide_topology, build_polyala_forcefield
+
+    atoms, bonds = build_peptide_topology(["ACE", "ALA", "NME"])
+    assert atoms == ALA2_ATOMS
+    assert set(map(tuple, bonds)) == set(map(tuple, np.asarray(ALA2_BONDS)))
+    x = jnp.asarray(
+        0.08 * np.random.RandomState(0).randn(8, 66)
+        + np.asarray(ALA2_REFERENCE_XYZ).reshape(1, -1)
+    )
+    u1 = build_ala2_forcefield().energy(x)
+    u2 = build_polyala_forcefield(1).energy(x)
+    assert_close(u1, u2, 1e-5)
+
+
+def test_polyala_reference_geometry_reasonable():
+    from bgflow_tpu.energies.peptide import build_polyala_forcefield, polyala_reference_xyz
+
+    for n in (1, 3):
+        xyz = polyala_reference_xyz(n, minimize_steps=120)
+        ff = build_polyala_forcefield(n)
+        u = float(ff.energy(jnp.asarray(xyz.reshape(1, -1)))[0])
+        assert np.isfinite(u) and u < 50.0 * ff.n_atoms, (n, u)
+        d = np.linalg.norm(xyz[:, None] - xyz[None, :], axis=-1)
+        np.fill_diagonal(d, 10.0)
+        assert d.min() > 0.07, (n, d.min())
+
+
+def test_polyala_zmatrix_roundtrip(key):
+    """The bond-graph z-matrix supports an exact IC round trip at ALA3."""
+    from bgflow_tpu.energies.peptide import polyala_reference_xyz, polyala_z_matrix
+    from bgflow_tpu.flows.ic import RelativeInternalCoordinateTransformation
+
+    n_res = 3
+    z, fixed = polyala_z_matrix(n_res)
+    flow = RelativeInternalCoordinateTransformation(z, fixed)
+    ref = polyala_reference_xyz(n_res, minimize_steps=50).reshape(1, -1)
+    x = jnp.asarray(ref + 0.01 * np.random.RandomState(1).randn(6, ref.shape[-1]))
+    ics, dlogp = flow.forward((), (x,))
+    (x2,), dlogp_inv = flow.forward((), ics, inverse=True)
+    assert_close(x2, x, 2e-4)
+    assert_close(dlogp, -dlogp_inv, 1e-2)
+
+
+@pytest.mark.slow
+def test_polyala_generator_end_to_end(key):
+    """ALA3 BG: build from short MD data, sample, evaluate, one train step."""
+    import bgflow_tpu as bg
+    from bgflow_tpu.models.polyala import generate_polyala_data, make_polyala_generator
+
+    n_res = 3
+    data = generate_polyala_data(
+        key, n_res, n_samples=256, n_chains=16, n_equilibration=200
+    )
+    assert bool(jnp.all(jnp.isfinite(data)))
+    gen = make_polyala_generator(n_res, data, hidden=(32, 32), num_bins=4)
+    params = gen.init(jax.random.PRNGKey(1))
+    out = gen.sample(params, jax.random.PRNGKey(2), 128, with_log_weights=True)
+    assert out.xs[0].shape == (128, data.shape[-1])
+    assert bool(jnp.all(jnp.isfinite(out.xs[0])))
+    nll = gen.energy(params, jnp.asarray(data[:64]))
+    assert bool(jnp.all(jnp.isfinite(nll)))
+    trainer = bg.KLTrainer(gen)
+    step = trainer.make_train_step(batchsize_likelihood=32, batchsize_energy=32)
+    opt = trainer.init(params)
+    p2, o2, m = step(params, opt, jax.random.PRNGKey(3), (jnp.asarray(data[:32]),))
+    assert np.isfinite(float(m["loss"]))
