@@ -33,7 +33,87 @@ from ..factory.tensor_info import ANGLES, BONDS, FIXED, TORSIONS, ShapeDictionar
 from ..flows.ic import MixedCoordinateTransformation
 from ..samplers.md import baoab_run
 
-__all__ = ["generate_polyala_data", "make_polyala_generator"]
+__all__ = [
+    "generate_polyala_data",
+    "generate_polyala_data_exact",
+    "make_polyala_generator",
+]
+
+
+def generate_polyala_data_exact(
+    key,
+    n_res: int,
+    n_samples: int = 16384,
+    n_ladders: int = 64,
+    temperatures=(1.0, 1.5, 2.25, 3.375),
+    step_size: float = 4e-3,
+    n_leapfrog: int = 10,
+    n_burnin: int = 200,
+    stride: int = 5,
+    temperature: float = 300.0,
+    align: bool = True,
+    reference_xyz: Optional[np.ndarray] = None,
+    dtype=jnp.float32,
+):
+    """Exact-Boltzmann poly-alanine data: HMC + replica exchange.
+
+    The generic-length version of ``models/ala2.py::generate_ala2_data_exact``
+    (see there for why Metropolis-corrected moves are load-bearing: BAOAB's
+    dt bias made round-1 training data non-Boltzmann)."""
+    from ..ops.geometry import kabsch_align
+    from ..parallel.tempering import ReplicaExchangeStep
+    from ..samplers.iterative import SamplerState
+    from ..samplers.mcmc import HMCStep
+
+    atoms, _ = build_peptide_topology(["ACE"] + ["ALA"] * n_res + ["NME"])
+    masses_amu = PEPTIDE_MASSES(atoms)
+    temps = jnp.asarray(temperatures, dtype=dtype)
+    k = temps.shape[0]
+    temps_flat = jnp.tile(temps, n_ladders)
+    masses = jnp.asarray(np.repeat(masses_amu, 3) / masses_amu.min(), dtype=dtype)
+
+    ff = build_polyala_forcefield(n_res, temperature=temperature)
+    ref = polyala_reference_xyz(n_res) if reference_xyz is None else np.asarray(reference_xyz)
+    n_atoms = ref.shape[0]
+    _, fixed = polyala_z_matrix(n_res)
+    x0 = jnp.asarray(ref, dtype=dtype).reshape(1, -1)
+    x0 = jnp.repeat(x0, n_ladders * k, axis=0)
+
+    hmc = HMCStep(
+        ff, step_size=step_size, n_leapfrog=n_leapfrog,
+        target_temperatures=temps_flat, masses=masses, n_steps=stride,
+    )
+    rex = ReplicaExchangeStep(ff, temps)
+
+    @jax.jit
+    def one_iteration(state, key):
+        k1, k2 = jax.random.split(key)
+        state = hmc.step(state, k1)
+        return rex.step(state, k2)
+
+    state = SamplerState(
+        samples=(x0,),
+        energies=ff.energy(x0),
+        step_count=jnp.zeros((), dtype=jnp.int32),
+    )
+    for _ in range(n_burnin):
+        key, sub = jax.random.split(key)
+        state = one_iteration(state, sub)
+    n_iter = -(-n_samples // n_ladders)
+    collected = []
+    for _ in range(n_iter):
+        key, sub = jax.random.split(key)
+        state = one_iteration(state, sub)
+        collected.append(np.asarray(state.samples[0][0::k]))
+    cold = np.concatenate(collected, axis=0)[:n_samples]
+    if align:
+        refj = jnp.asarray(ref, dtype=dtype)
+        out = []
+        for i in range(0, cold.shape[0], 16384):
+            chunk = jnp.asarray(cold[i : i + 16384]).reshape(-1, n_atoms, 3)
+            out.append(np.asarray(kabsch_align(chunk, refj, atoms=fixed)))
+        cold = np.concatenate(out, axis=0).reshape(-1, 3 * n_atoms)
+    return jnp.asarray(cold)
 
 
 def generate_polyala_data(
