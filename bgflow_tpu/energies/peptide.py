@@ -228,19 +228,20 @@ def zmatrix_from_bonds(n_atoms: int, bonds, fixed_atoms, priority=None) -> np.nd
         for a in sweep:
             if a in placed_set:
                 continue
-            ps = [p for p in adj[a] if p in placed_set]
+            by_prio = lambda lst: sorted(lst, key=lambda i: (priority[i], i))
+            ps = by_prio([p for p in adj[a] if p in placed_set])
             if not ps:
                 continue
             p = ps[0]
-            qs = [q for q in adj[p] if q in placed_set and q != a]
+            qs = by_prio([q for q in adj[p] if q in placed_set and q != a])
             if not qs:
                 continue
             q = qs[0]
-            rs = [r for r in adj[q] if r in placed_set and r not in (a, p)]
+            rs = by_prio([r for r in adj[q] if r in placed_set and r not in (a, p)])
             if not rs:
-                rs = [r for r in adj[p] if r in placed_set and r not in (a, q)]
+                rs = by_prio([r for r in adj[p] if r in placed_set and r not in (a, q)])
             if not rs:
-                rs = [r for r in placed if r not in (a, p, q)]
+                rs = by_prio([r for r in placed if r not in (a, p, q)])
             if not rs:
                 raise ValueError("need at least 3 placed reference atoms")
             rows.append([a, p, q, rs[0]])
@@ -261,7 +262,10 @@ def polyala_z_matrix(n_res: int) -> Tuple[np.ndarray, np.ndarray]:
     mid = (n_res - 1) // 2
     off = 6 + 10 * mid  # ACE is 6 atoms, each ALA 10
     fixed = np.array([off + 0, off + 2, off + 3, off + 4, off + 8])
-    z = zmatrix_from_bonds(len(atoms), bonds, fixed)
+    # heavy atoms first (and preferred as references): hydrogen-anchored
+    # angle/torsion references condition the reconstruction badly
+    prio = np.array([1 if t.startswith("H") else 0 for _, t, _ in atoms])
+    z = zmatrix_from_bonds(len(atoms), bonds, fixed, priority=prio)
     return z, fixed
 
 

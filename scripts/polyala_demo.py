@@ -21,7 +21,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 ART = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "artifacts")
 
 
-def data_phase(n_res, n_samples=24576):
+def data_phase(n_res, n_samples=98304):
     from bgflow_tpu.models.polyala import generate_polyala_data_exact
 
     key = jax.random.PRNGKey(11)
@@ -32,13 +32,13 @@ def data_phase(n_res, n_samples=24576):
     print(f"data: {data.shape}, finite={bool(jnp.all(jnp.isfinite(data)))}", flush=True)
 
 
-def train_phase(n_res, n_iter=12000, batch=1024):
+def train_phase(n_res, n_iter=24000, batch=1024):
     import bgflow_tpu as bg
     from bgflow_tpu.models.polyala import make_polyala_generator
     import optax
 
     data = np.load(os.path.join(ART, f"polyala{n_res}_data.npz"))["data"]
-    gen = make_polyala_generator(n_res, data, use_pallas_spline=True)
+    gen = make_polyala_generator(n_res, data, use_pallas_spline=True, marginals_from="data")
     params = gen.init(jax.random.PRNGKey(0))
     trainer = bg.KLTrainer(
         gen, train_energy=False,
@@ -59,7 +59,7 @@ def eval_phase(n_res, n_eval=50000):
     from bgflow_tpu.utils.checkpoint import restore_checkpoint
 
     data = np.load(os.path.join(ART, f"polyala{n_res}_data.npz"))["data"]
-    gen = make_polyala_generator(n_res, data, use_pallas_spline=True)
+    gen = make_polyala_generator(n_res, data, use_pallas_spline=True, marginals_from="data")
     params = restore_checkpoint(os.path.join(ART, f"polyala{n_res}_ckpt"))["params"]
     out = gen.sample(params, jax.random.PRNGKey(7), n_eval, with_log_weights=True)
     lw = out.log_weights
