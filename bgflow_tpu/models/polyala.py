@@ -167,6 +167,7 @@ def make_polyala_generator(
     fixed_scale: float = 3.0,
     use_pallas_spline: bool = False,
     marginals_from: str = "forcefield",
+    torsion_cross_couplings: int = 2,
     architecture=(
         (TORSIONS, FIXED),
         (FIXED, TORSIONS),
@@ -177,7 +178,14 @@ def make_polyala_generator(
     ),
 ) -> BoltzmannGenerator:
     """Spline-coupling BG for ACE-(ALA)_n-NME (ala2-flagship architecture,
-    generic over chain length)."""
+    generic over chain length).
+
+    ``torsion_cross_couplings``: rounds of even/odd torsion couplings
+    prepended to the ala2 stack.  Longer chains have several strongly
+    coupled backbone dihedrals; the ala2 architecture conditions torsions
+    only on the (small) whitened block and on bonds/angles, which cannot
+    express torsion-torsion correlations at all.
+    """
     data = np.asarray(data)
     z, fixed = polyala_z_matrix(n_res)
     crd = MixedCoordinateTransformation(
@@ -188,6 +196,19 @@ def make_polyala_generator(
     shape_info = ShapeDictionary.from_coordinate_transform(crd)
     builder = BoltzmannGeneratorBuilder(shape_info, target=target)
     tkw = dict(use_pallas=True) if use_pallas_spline else dict()
+    if torsion_cross_couplings:
+        d_t = builder.current_dims[TORSIONS][-1]
+        idx_a = np.arange(0, d_t, 2)
+        idx_b = np.arange(1, d_t, 2)
+        ta, tb = builder.add_split(TORSIONS, ["torsions_a", "torsions_b"], [idx_a, idx_b])
+        for _ in range(torsion_cross_couplings):
+            builder.add_condition(
+                ta, on=(tb, FIXED), hidden=hidden, num_bins=num_bins, transformer_kwargs=tkw
+            )
+            builder.add_condition(
+                tb, on=(ta, FIXED), hidden=hidden, num_bins=num_bins, transformer_kwargs=tkw
+            )
+        builder.add_merge((ta, tb), to=TORSIONS, sizes_or_indices=[idx_a, idx_b])
     for what, on in architecture:
         builder.add_condition(
             what, on=on, hidden=hidden, num_bins=num_bins, transformer_kwargs=tkw

@@ -38,7 +38,10 @@ def train_phase(n_res, n_iter=24000, batch=1024):
     import optax
 
     data = np.load(os.path.join(ART, f"polyala{n_res}_data.npz"))["data"]
-    gen = make_polyala_generator(n_res, data, use_pallas_spline=True, marginals_from="data")
+    gen = make_polyala_generator(
+        n_res, data, use_pallas_spline=True, marginals_from="data",
+        torsion_cross_couplings=4, hidden=(256, 256), num_bins=16,
+    )
     params = gen.init(jax.random.PRNGKey(0))
     trainer = bg.KLTrainer(
         gen, train_energy=False,
@@ -59,7 +62,10 @@ def eval_phase(n_res, n_eval=50000):
     from bgflow_tpu.utils.checkpoint import restore_checkpoint
 
     data = np.load(os.path.join(ART, f"polyala{n_res}_data.npz"))["data"]
-    gen = make_polyala_generator(n_res, data, use_pallas_spline=True, marginals_from="data")
+    gen = make_polyala_generator(
+        n_res, data, use_pallas_spline=True, marginals_from="data",
+        torsion_cross_couplings=4, hidden=(256, 256), num_bins=16,
+    )
     params = restore_checkpoint(os.path.join(ART, f"polyala{n_res}_ckpt"))["params"]
     out = gen.sample(params, jax.random.PRNGKey(7), n_eval, with_log_weights=True)
     lw = out.log_weights
