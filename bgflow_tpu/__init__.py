@@ -103,6 +103,7 @@ from .samplers.mcmc import (
     HMCStep,
     GaussianMCMCSampler,
     metropolis_accept,
+    tune_hmc_step_size,
 )
 from .samplers.md import BAOABStep, LangevinStep, baoab_run, maxwell_boltzmann_velocities
 from .samplers.buffer import MetropolizedReplayBuffer, ReplayBufferHDF5Reporter

@@ -46,9 +46,9 @@ def generate_polyala_data_exact(
     n_samples: int = 16384,
     n_ladders: int = 64,
     temperatures=(1.0, 1.5, 2.25, 3.375),
-    step_size: float = 4e-3,
+    step_size: float = 2e-3,
     n_leapfrog: int = 10,
-    n_burnin: int = 200,
+    n_burnin: int = 400,
     stride: int = 5,
     temperature: float = 300.0,
     align: bool = True,
@@ -59,7 +59,13 @@ def generate_polyala_data_exact(
 
     The generic-length version of ``models/ala2.py::generate_ala2_data_exact``
     (see there for why Metropolis-corrected moves are load-bearing: BAOAB's
-    dt bias made round-1 training data non-Boltzmann)."""
+    dt bias made round-1 training data non-Boltzmann).
+
+    HMC acceptance falls with dimension at fixed step size: ala2's tuned
+    4e-3 gives only ~4% acceptance at ALA3 (126 dof) — chains freeze at
+    the start structure and the "data" is not an equilibrated ensemble
+    (this exact failure produced logw_std ~100-200 models).  The 2e-3
+    default accepts ~70% at ALA3; re-measure when changing chain length."""
     from ..ops.geometry import kabsch_align
     from ..parallel.tempering import ReplicaExchangeStep
     from ..samplers.iterative import SamplerState

@@ -237,3 +237,20 @@ def test_dataset_sampler_weighted(key):
     out_u = ds_u.sample(key, 4000)
     frac3_u = float(jnp.mean(out_u[:, 0] == 3.0))
     assert abs(frac3_u - 0.25) < 0.05
+
+
+def test_tune_hmc_step_size(key):
+    """The tuner lands near the target acceptance on a Gaussian target
+    starting from a badly mistuned step size."""
+    import numpy as np
+    from bgflow_tpu.samplers.mcmc import tune_hmc_step_size
+
+    target = bg.NormalDistribution(24)
+    x0 = jax.random.normal(key, (128, 24))
+    step, acc = tune_hmc_step_size(
+        target, x0, jax.random.PRNGKey(3), target_accept=0.7,
+        step_size=25.0,  # absurdly large: ~0% acceptance initially
+        n_leapfrog=5, n_rounds=14,
+    )
+    assert 0.45 < acc < 0.95, (step, acc)
+    assert step < 25.0
