@@ -53,9 +53,17 @@ def generate_polyala_data_exact(
     temperature: float = 300.0,
     align: bool = True,
     reference_xyz: Optional[np.ndarray] = None,
+    return_all_rungs: bool = False,
     dtype=jnp.float32,
 ):
     """Exact-Boltzmann poly-alanine data: HMC + replica exchange.
+
+    With ``return_all_rungs`` the HOT rungs are returned too, with MBAR
+    log-weights that unbias every frame to the T=1 ensemble — broader
+    conformational coverage at zero extra simulation cost (the analogue of
+    the ala2 science recipe's umbrella augmentation, using the tempering
+    ladder itself as the biased ensembles).  Returns (frames, log_weights)
+    suitable for ``DataSetSampler(frames, log_weights=...)``.
 
     The generic-length version of ``models/ala2.py::generate_ala2_data_exact``
     (see there for why Metropolis-corrected moves are load-bearing: BAOAB's
@@ -107,19 +115,52 @@ def generate_polyala_data_exact(
         state = one_iteration(state, sub)
     n_iter = -(-n_samples // n_ladders)
     collected = []
+    collected_u = []
     for _ in range(n_iter):
         key, sub = jax.random.split(key)
         state = one_iteration(state, sub)
-        collected.append(np.asarray(state.samples[0][0::k]))
-    cold = np.concatenate(collected, axis=0)[:n_samples]
-    if align:
+        if return_all_rungs:
+            collected.append(np.asarray(state.samples[0]))
+            collected_u.append(np.asarray(state.energies))
+        else:
+            collected.append(np.asarray(state.samples[0][0::k]))
+    frames = np.concatenate(collected, axis=0)
+    if not return_all_rungs:
+        frames = frames[:n_samples]
+
+    def _align(arr):
+        if not align:
+            return jnp.asarray(arr)
         refj = jnp.asarray(ref, dtype=dtype)
         out = []
-        for i in range(0, cold.shape[0], 16384):
-            chunk = jnp.asarray(cold[i : i + 16384]).reshape(-1, n_atoms, 3)
+        for i in range(0, arr.shape[0], 16384):
+            chunk = jnp.asarray(arr[i : i + 16384]).reshape(-1, n_atoms, 3)
             out.append(np.asarray(kabsch_align(chunk, refj, atoms=fixed)))
-        cold = np.concatenate(out, axis=0).reshape(-1, 3 * n_atoms)
-    return jnp.asarray(cold)
+        return jnp.asarray(np.concatenate(out, axis=0).reshape(-1, 3 * n_atoms))
+
+    if not return_all_rungs:
+        return _align(frames)
+
+    # MBAR over the K temperature states: reduced energies u_kn = u_n / T_k
+    # (state.energies is u = U/kT at the physical temperature, i.e. the
+    # T=1 reduced energy).  Target-state (T=1) weights:
+    # log w_n = -u_n - logsumexp_k(log N_k + f_k - u_kn).
+    from ..utils.free_energy import mbar as _mbar
+
+    u_n = jnp.asarray(np.concatenate(collected_u, axis=0))
+    # frame i in each iteration block belongs to temperature state i % k
+    state_id = np.tile(np.arange(k), n_ladders * n_iter)
+    temps_np = np.asarray(temperatures)
+    u_kn = u_n[None, :] / jnp.asarray(temps_np, u_n.dtype)[:, None]
+    n_per = np.bincount(state_id, minlength=k)
+    f_k = _mbar(u_kn, jnp.asarray(n_per))
+    log_denom = jax.scipy.special.logsumexp(
+        jnp.log(jnp.asarray(n_per, u_n.dtype))[:, None] + f_k[:, None] - u_kn,
+        axis=0,
+    )
+    log_w = -u_n - log_denom
+    log_w = log_w - jax.scipy.special.logsumexp(log_w)
+    return _align(frames), log_w
 
 
 def generate_polyala_data(

@@ -25,11 +25,18 @@ def data_phase(n_res, n_samples=98304):
     from bgflow_tpu.models.polyala import generate_polyala_data_exact
 
     key = jax.random.PRNGKey(11)
-    data = generate_polyala_data_exact(
-        key, n_res, n_samples=n_samples, n_ladders=64, n_burnin=150
+    # all rungs + MBAR weights: the hot rungs cross barriers and MBAR
+    # unbiases them to T=1 (coverage augmentation at zero extra cost)
+    data, log_w = generate_polyala_data_exact(
+        key, n_res, n_samples=n_samples, n_ladders=64, n_burnin=400,
+        return_all_rungs=True,
     )
-    np.savez(os.path.join(ART, f"polyala{n_res}_data.npz"), data=np.asarray(data))
-    print(f"data: {data.shape}, finite={bool(jnp.all(jnp.isfinite(data)))}", flush=True)
+    np.savez(
+        os.path.join(ART, f"polyala{n_res}_data.npz"),
+        data=np.asarray(data), log_weights=np.asarray(log_w),
+    )
+    w = np.exp(np.asarray(log_w)); w /= w.sum()
+    print(f"data: {data.shape}, weight-ESS {1.0/np.sum(w**2):.0f}", flush=True)
 
 
 def train_phase(n_res, n_iter=24000, batch=1024):
@@ -37,7 +44,9 @@ def train_phase(n_res, n_iter=24000, batch=1024):
     from bgflow_tpu.models.polyala import make_polyala_generator
     import optax
 
-    data = np.load(os.path.join(ART, f"polyala{n_res}_data.npz"))["data"]
+    blob = np.load(os.path.join(ART, f"polyala{n_res}_data.npz"))
+    data = blob["data"]
+    log_w = blob["log_weights"] if "log_weights" in blob.files else None
     gen = make_polyala_generator(
         n_res, data, use_pallas_spline=True, marginals_from="data",
         torsion_cross_couplings=4, hidden=(256, 256), num_bins=16,
@@ -47,7 +56,8 @@ def train_phase(n_res, n_iter=24000, batch=1024):
         gen, train_energy=False,
         optimizer=optax.adam(optax.cosine_decay_schedule(1e-3, n_iter, 1e-2)),
     )
-    sampler = bg.DataSetSampler(jnp.asarray(data))
+    sampler = bg.DataSetSampler(jnp.asarray(data), log_weights=(
+        None if log_w is None else jnp.asarray(log_w)))
     params, opt_state, reporter = trainer.train(
         params, jax.random.PRNGKey(1), n_iter, data=sampler,
         batchsize=batch, scan_chunk=1000, progress_interval=1,

@@ -81,3 +81,29 @@ def test_polyala_generator_end_to_end(key):
     opt = trainer.init(params)
     p2, o2, m = step(params, opt, jax.random.PRNGKey(3), (jnp.asarray(data[:32]),))
     assert np.isfinite(float(m["loss"]))
+
+
+@pytest.mark.slow
+def test_polyala_all_rung_mbar_weights(key):
+    """return_all_rungs: MBAR weights unbias the whole ladder to T=1 —
+    weights are finite/normalized and cold rungs carry more weight than
+    the hottest rungs on average."""
+    from bgflow_tpu.models.polyala import generate_polyala_data_exact
+
+    temps = (1.0, 2.0, 4.0)
+    frames, log_w = generate_polyala_data_exact(
+        key, 1, n_samples=128, n_ladders=8, temperatures=temps,
+        n_burnin=20, stride=2, return_all_rungs=True,
+    )
+    n = frames.shape[0]
+    assert log_w.shape == (n,)
+    assert bool(jnp.all(jnp.isfinite(log_w)))
+    # frames interleave [T0, T1, T2] per ladder slot
+    k = len(temps)
+    w = np.exp(np.asarray(log_w))
+    cold_mean = w[0::k].mean()
+    hot_mean = w[k - 1 :: k].mean()
+    assert cold_mean > hot_mean
+    # effective sample size of the pooled-weighted set is a useful chunk
+    ess = 1.0 / np.sum((w / w.sum()) ** 2)
+    assert ess > 0.02 * n, ess
