@@ -57,6 +57,7 @@ from .flows.cdf import (
 )
 from .flows.modulo import IncreaseMultiplicityFlow, CircularShiftFlow
 from .flows.elementwise import ConstantAffineFlow, BentIdentity
+from .flows.marginal import MarginalSplineFlow
 from .distributions.normal import DiagonalNormal
 from .factory.tensor_info import (
     TensorInfo,

@@ -44,6 +44,7 @@ __all__ = [
     "build_peptide_topology",
     "build_forcefield_from_topology",
     "build_polyala_forcefield",
+    "backbone_dihedrals",
     "zmatrix_from_bonds",
     "polyala_z_matrix",
     "polyala_reference_xyz",

@@ -183,6 +183,7 @@ def make_ala2_generator(
     use_pallas_spline: bool = False,
     marginals_from: str = "data",
     implicit_solvent: bool = False,
+    learnable_marginals: bool = False,
     architecture=(
         (TORSIONS, FIXED),
         (FIXED, TORSIONS),
@@ -192,7 +193,13 @@ def make_ala2_generator(
         (FIXED, (BONDS, ANGLES, TORSIONS)),
     ),
 ) -> BoltzmannGenerator:
-    """Assemble the spline-coupling ala2 BG (notebook-parity architecture)."""
+    """Assemble the spline-coupling ala2 BG (notebook-parity architecture).
+
+    ``learnable_marginals``: append per-dim trainable RQ-spline marginal
+    layers (``flows/marginal.py``) on BONDS/ANGLES/TORSIONS before the
+    IC-domain map — corrects accumulated per-dof marginal mismatch that
+    the couplings (which model cross-dependence) leave behind.
+    """
     data = np.asarray(data)
     crd = MixedCoordinateTransformation(
         data, ALA2_Z_MATRIX, ALA2_FIXED_ATOMS, keepdims=keepdims
@@ -208,6 +215,15 @@ def make_ala2_generator(
         builder.add_condition(
             what, on=on, hidden=hidden, num_bins=num_bins, transformer_kwargs=tkw
         )
+    if learnable_marginals:
+        from ..flows.marginal import MarginalSplineFlow
+
+        for field in (BONDS, ANGLES, TORSIONS):
+            d = builder.current_dims[field][-1]
+            builder.add_layer(
+                MarginalSplineFlow(d, num_bins=num_bins, is_circular=field.is_circular),
+                what=(field,),
+            )
     # fixed_scale: std of the whitened-fixed-atom marginal.  The reference
     # defaults to 20 (very conservative); whitened coordinates are ~N(0,1),
     # and a tight marginal concentrates the spline's resolution where the

@@ -215,6 +215,7 @@ def make_polyala_generator(
     use_pallas_spline: bool = False,
     marginals_from: str = "forcefield",
     torsion_cross_couplings: int = 2,
+    learnable_marginals: bool = False,
     architecture=(
         (TORSIONS, FIXED),
         (FIXED, TORSIONS),
@@ -260,6 +261,18 @@ def make_polyala_generator(
         builder.add_condition(
             what, on=on, hidden=hidden, num_bins=num_bins, transformer_kwargs=tkw
         )
+    if learnable_marginals:
+        # per-dof trainable marginal reshapers: with ~40 dofs per residue the
+        # importance weights accumulate every small marginal mismatch the
+        # couplings leave behind (ROADMAP: the ALA3 quality wall)
+        from ..flows.marginal import MarginalSplineFlow
+
+        for field in (BONDS, ANGLES, TORSIONS):
+            d = builder.current_dims[field][-1]
+            builder.add_layer(
+                MarginalSplineFlow(d, num_bins=num_bins, is_circular=field.is_circular),
+                what=(field,),
+            )
     marginals = InternalCoordinateMarginals(builder.current_dims, fixed_scale=fixed_scale)
     if marginals_from == "forcefield":
         marginals.inform_with_force_field(

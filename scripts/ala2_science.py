@@ -253,6 +253,7 @@ def train_augmented(n_pretrain=12000, n_anneal=0, seed=4, batch=1024,
             params, key, n_pretrain, data=ds, batchsize=batch,
             test_data=test, test_interval=1000, progress_interval=1000,
             checkpoint_dir=pre_dir, checkpoint_interval=2000,
+            scan_chunk=2000,  # on-device loop: ~1.2k steps/s vs ~40/s dispatched
         )
         print(f"aug pretrain {n_pretrain} it in {time.time()-t0:.0f}s", flush=True)
 

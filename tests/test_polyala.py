@@ -82,6 +82,27 @@ def test_polyala_generator_end_to_end(key):
     p2, o2, m = step(params, opt, jax.random.PRNGKey(3), (jnp.asarray(data[:32]),))
     assert np.isfinite(float(m["loss"]))
 
+    # learnable marginal layers: identity at init, trainable thereafter
+    gen_m = make_polyala_generator(
+        n_res, data, hidden=(32, 32), num_bins=4, learnable_marginals=True
+    )
+    params_m = gen_m.init(jax.random.PRNGKey(1))
+    nll_m = gen_m.energy(params_m, jnp.asarray(data[:64]))
+    assert_close(nll_m, nll, 1e-3)
+    step_m = bg.KLTrainer(gen_m).make_train_step(
+        batchsize_likelihood=32, batchsize_energy=32
+    )
+    p3, _, m3 = step_m(
+        params_m, bg.KLTrainer(gen_m).init(params_m),
+        jax.random.PRNGKey(3), (jnp.asarray(data[:32]),),
+    )
+    assert np.isfinite(float(m3["loss"]))
+    # the marginal layers' params received gradient
+    diff = jax.tree_util.tree_map(
+        lambda a, b: float(jnp.max(jnp.abs(a - b))), p3, params_m
+    )
+    assert max(jax.tree_util.tree_leaves(diff)) > 0.0
+
 
 @pytest.mark.slow
 def test_polyala_all_rung_mbar_weights(key):
