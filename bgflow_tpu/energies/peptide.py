@@ -107,6 +107,46 @@ def build_peptide_topology(sequence: Sequence[str]):
     return atoms, np.asarray(bonds, dtype=np.int64)
 
 
+def backbone_dihedrals(sequence: Sequence[str]):
+    """Backbone (phi, psi) atom quadruples for each chain residue.
+
+    phi_i = C_{i-1}-N_i-CA_i-C_i, psi_i = N_i-CA_i-C_i-N_{i+1}.  Returns a
+    list of dicts ``{"residue": i, "phi": (4 ints), "psi": (4 ints)}`` over
+    the non-cap residues.  For ACE-ALA-NME this reproduces the canonical
+    ala2 quadruples phi=(4,6,8,14), psi=(6,8,14,16) (reference notebook
+    ``alanine_dipeptide_basics.py`` CV definitions).
+    """
+    offsets = []
+    off = 0
+    for res in sequence:
+        offsets.append(off)
+        off += len(RESIDUE_TEMPLATES[res]["atoms"])
+    out = []
+    for i, res in enumerate(sequence):
+        tpl = RESIDUE_TEMPLATES[res]
+        if tpl["head"] is None or tpl["tail"] is None:
+            continue  # caps have no phi/psi
+        prev_tpl = RESIDUE_TEMPLATES[sequence[i - 1]]
+        next_tpl = RESIDUE_TEMPLATES[sequence[i + 1]]
+        c_prev = offsets[i - 1] + prev_tpl["tail"]
+        n_i = offsets[i] + tpl["head"]
+        # CA is the atom bonded to both head (N) and tail (C) in the template
+        nbrs_head = {b for a, b in tpl["bonds"] if a == tpl["head"]} | {
+            a for a, b in tpl["bonds"] if b == tpl["head"]
+        }
+        nbrs_tail = {b for a, b in tpl["bonds"] if a == tpl["tail"]} | {
+            a for a, b in tpl["bonds"] if b == tpl["tail"]
+        }
+        (ca_local,) = nbrs_head & nbrs_tail
+        ca_i = offsets[i] + ca_local
+        c_i = offsets[i] + tpl["tail"]
+        n_next = offsets[i + 1] + next_tpl["head"]
+        out.append(
+            {"residue": i, "phi": (c_prev, n_i, ca_i, c_i), "psi": (n_i, ca_i, c_i, n_next)}
+        )
+    return out
+
+
 def build_forcefield_from_topology(
     atoms,
     bonds,

@@ -42,20 +42,30 @@ class BiasedEnergy(Energy):
     ``cv_period`` makes the bias distance periodic (e.g. 2*pi for a
     dihedral CV) — without it an umbrella at phi = pi would pull chains the
     long way around the circle.
+
+    ``cv_mask`` (K, D) restricts each window's bias to a subset of the CV
+    components: window k biases ``sum_d mask[k, d] * harmonic(cv_d)``.  With
+    one-hot rows this runs *independent per-component umbrella sweeps as a
+    single batch* (e.g. one sweep over every backbone dihedral of a peptide
+    in one compiled program), and MBAR stays exact because every window's
+    bias energy is well-defined on every sample.
     """
 
     def __init__(self, energy: Energy, cv: Callable, centers, k_umbrella: float,
-                 cv_period: Optional[float] = None):
+                 cv_period: Optional[float] = None, cv_mask=None):
         super().__init__([list(s) for s in energy.event_shapes])
         self.base = energy
         self.cv = cv
         self.centers = jnp.asarray(centers)
         self.k_umbrella = k_umbrella
         self.cv_period = cv_period
+        self.cv_mask = None if cv_mask is None else jnp.asarray(cv_mask)
 
     def bias(self, *xs):
         d = _cv_displacement(self.cv(*xs), self.centers, self.cv_period)
         b = 0.5 * self.k_umbrella * d**2
+        if self.cv_mask is not None:
+            b = b * self.cv_mask
         if self.centers.ndim > 1:
             b = jnp.sum(b, axis=-1)
         return b
@@ -78,13 +88,17 @@ class UmbrellaSampling:
     def __init__(self, energy: Energy, cv: Callable, centers, k_umbrella: float,
                  noise_std: float = 0.1, stride: int = 10, n_burnin: int = 100,
                  cv_period: Optional[float] = None, mover: str = "gaussian",
-                 hmc_step_size: float = 1e-3, hmc_leapfrog: int = 10, masses=1.0):
+                 hmc_step_size: float = 1e-3, hmc_leapfrog: int = 10, masses=1.0,
+                 cv_mask=None):
         self.energy = energy
         self.cv = cv
         self.centers = jnp.asarray(centers)
         self.k_umbrella = float(k_umbrella)
         self.cv_period = cv_period
-        self.biased = BiasedEnergy(energy, cv, self.centers, self.k_umbrella, cv_period)
+        self.cv_mask = None if cv_mask is None else jnp.asarray(cv_mask)
+        self.biased = BiasedEnergy(
+            energy, cv, self.centers, self.k_umbrella, cv_period, cv_mask=self.cv_mask
+        )
         self.noise_std = noise_std
         self.stride = stride
         self.n_burnin = n_burnin
@@ -118,7 +132,10 @@ class UmbrellaSampling:
             d = _cv_displacement(
                 cv_vals[None, :, :], self.centers[:, None, :], self.cv_period
             )
-            return jnp.sum(0.5 * self.k_umbrella * d**2, axis=-1)
+            b = 0.5 * self.k_umbrella * d**2
+            if self.cv_mask is not None:
+                b = b * self.cv_mask[:, None, :]
+            return jnp.sum(b, axis=-1)
         d = _cv_displacement(cv_vals[None, :], self.centers[:, None], self.cv_period)
         return 0.5 * self.k_umbrella * d**2
 

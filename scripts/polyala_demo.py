@@ -2,16 +2,20 @@
 
 Phases (each writes/extends artifacts/polyala{N}.json + checkpoints):
 
-  data   — HMC + replica-exchange exact-Boltzmann ensemble
-  train  — weighted-NLL training of the spline BG (the recipe the ala2
-           science closeout validated: NLL-only, aligned data)
-  eval   — sampling efficiency / log-weight statistics
+  data     — HMC + replica-exchange exact-Boltzmann ensemble
+  umbrella — per-backbone-dihedral umbrella sweeps (phi_i and psi_i of every
+             residue) run as ONE masked-CV batch with a joint MBAR
+  train    — weighted-NLL training of the spline BG (the recipe the ala2
+             science closeout validated: NLL-only, aligned data); optional
+             umbrella augmentation + learnable marginal layers
+  eval     — sampling efficiency / log-weight statistics
 
-Run:  python scripts/polyala_demo.py <phase> [n_res]
+Run:  python scripts/polyala_demo.py <phase> [n_res] [--augment] [--marginals]
 """
 import json
 import os
 import sys
+import time
 
 import numpy as np
 import jax
@@ -19,6 +23,10 @@ import jax.numpy as jnp
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 ART = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "artifacts")
+
+
+def _tag(augment, marginals):
+    return ("_aug" if augment else "") + ("_m" if marginals else "")
 
 
 def data_phase(n_res, n_samples=98304):
@@ -39,18 +47,156 @@ def data_phase(n_res, n_samples=98304):
     print(f"data: {data.shape}, weight-ESS {1.0/np.sum(w**2):.0f}", flush=True)
 
 
-def train_phase(n_res, n_iter=24000, batch=1024):
-    import bgflow_tpu as bg
-    from bgflow_tpu.models.polyala import make_polyala_generator
-    import optax
+def umbrella_phase(n_res, n_windows=16, n_iterations=500, k_umbrella=40.0, seed=5):
+    """One umbrella sweep over EVERY backbone dihedral, in one batch.
 
+    Window (s, w) biases dihedral s toward center_w via a one-hot cv_mask;
+    all S*n_windows windows advance together (HMC) and a single joint MBAR
+    unbiases the pooled frames.  This is the per-dihedral enhanced-sampling
+    augmentation the ALA3 quality analysis called for (ROADMAP)."""
+    from bgflow_tpu.energies.peptide import (
+        PEPTIDE_MASSES, backbone_dihedrals, build_peptide_topology,
+        build_polyala_forcefield, polyala_z_matrix, polyala_reference_xyz,
+    )
+    from bgflow_tpu.ops.geometry import kabsch_align
+    from bgflow_tpu.ops.ic import torsion
+    from bgflow_tpu.samplers.umbrella import UmbrellaSampling
+
+    seq = ["ACE"] + ["ALA"] * n_res + ["NME"]
+    dihs = backbone_dihedrals(seq)
+    quads = [d["phi"] for d in dihs] + [d["psi"] for d in dihs]
+    names = [f"phi{d['residue']}" for d in dihs] + [f"psi{d['residue']}" for d in dihs]
+    S = len(quads)
+    atoms, _ = build_peptide_topology(seq)
+    n_atoms = len(atoms)
+    masses_amu = PEPTIDE_MASSES(atoms)
+    masses = jnp.asarray(np.repeat(masses_amu, 3) / masses_amu.min())
+    ff = build_polyala_forcefield(n_res)
+    qa = np.asarray(quads)  # (S, 4)
+
+    def cv(x):
+        p = x.reshape(-1, n_atoms, 3)
+        return jnp.stack(
+            [torsion(p[:, a], p[:, b], p[:, c], p[:, d], 1e-7) for a, b, c, d in qa],
+            axis=-1,
+        )  # (B, S)
+
+    g = jnp.linspace(-jnp.pi, jnp.pi, n_windows, endpoint=False)
+    centers = jnp.zeros((S * n_windows, S)).at[
+        jnp.arange(S * n_windows), jnp.repeat(jnp.arange(S), n_windows)
+    ].set(jnp.tile(g, S))
+    mask = jnp.zeros((S * n_windows, S)).at[
+        jnp.arange(S * n_windows), jnp.repeat(jnp.arange(S), n_windows)
+    ].set(1.0)
+
+    us = UmbrellaSampling(
+        ff, cv, centers, k_umbrella=k_umbrella, cv_period=2 * np.pi,
+        cv_mask=mask, mover="hmc", hmc_step_size=2e-3, hmc_leapfrog=10,
+        masses=masses, stride=10, n_burnin=300,
+    )
+    # seed each window with the exact-data frame whose swept dihedral is
+    # nearest the window center (equilibrated in the orthogonal dofs)
+    data = np.load(os.path.join(ART, f"polyala{n_res}_data.npz"))["data"]
+    pool = jnp.asarray(data[:: max(1, len(data) // 16384)])
+    dih_pool = cv(pool)  # (P, S)
+    sweep_of_window = np.repeat(np.arange(S), n_windows)
+    cent = jnp.tile(g, S)
+    d = jnp.abs(
+        jnp.mod(dih_pool[:, sweep_of_window] - cent[None, :] + np.pi, 2 * np.pi)
+        - np.pi
+    )  # (P, K)
+    x0 = pool[jnp.argmin(d, axis=0)]
+    t0 = time.time()
+    samples = us.run(jax.random.PRNGKey(seed), x0, n_iterations)
+    print(f"umbrella: {samples.shape} in {time.time()-t0:.0f}s", flush=True)
+    cv_vals, log_w = us.unbiased_log_weights(samples)
+
+    frames = np.asarray(samples).reshape(-1, 3 * n_atoms)
+    ref = jnp.asarray(polyala_reference_xyz(n_res), jnp.float32)
+    _, fixed = polyala_z_matrix(n_res)
+    aligned = []
+    for i in range(0, frames.shape[0], 16384):
+        chunk = jnp.asarray(frames[i : i + 16384], jnp.float32).reshape(-1, n_atoms, 3)
+        aligned.append(np.asarray(kabsch_align(chunk, ref, atoms=fixed)))
+    frames = np.concatenate(aligned, axis=0).reshape(-1, 3 * n_atoms)
+
+    # frame (it, k) -> window k -> sweep k // n_windows; pooled order is
+    # iteration-major (reshape of (n_iter, K, D))
+    K = S * n_windows
+    sweep_id = np.tile(np.repeat(np.arange(S), n_windows), samples.shape[0])
+    np.savez_compressed(
+        os.path.join(ART, f"polyala{n_res}_umbrella.npz"),
+        frames=frames,
+        cv=np.asarray(cv_vals),          # (N, S) all dihedrals of every frame
+        log_weights=np.asarray(log_w),   # joint-MBAR unbiased (normalized)
+        sweep_id=sweep_id,
+        sweep_names=np.asarray(names),
+    )
+    w = np.exp(np.asarray(log_w) - np.max(np.asarray(log_w))); w /= w.sum()
+    print(f"umbrella: {S} sweeps x {n_windows} windows, {frames.shape[0]} frames, "
+          f"weight-ESS {1.0/np.sum(w**2):.0f}", flush=True)
+
+
+def _augmented_training_set(n_res, umbrella_mass=0.25, n_bins=16):
+    """Exact ensemble + umbrella frames with near-uniform per-dihedral
+    coverage: each sweep gets umbrella_mass/S total mass, split equally over
+    occupied cv bins, within-bin proportional to the joint-MBAR weights
+    (locally Boltzmann, marginally flat — the coverage the learnable
+    marginal layer needs to see)."""
     blob = np.load(os.path.join(ART, f"polyala{n_res}_data.npz"))
-    data = blob["data"]
-    log_w = blob["log_weights"] if "log_weights" in blob.files else None
-    gen = make_polyala_generator(
+    data, lw_data = blob["data"], blob["log_weights"].astype(np.float64)
+    ub = np.load(os.path.join(ART, f"polyala{n_res}_umbrella.npz"))
+    frames, cvs, logw, sweep_id = (
+        ub["frames"], ub["cv"].astype(np.float64),
+        ub["log_weights"].astype(np.float64), ub["sweep_id"],
+    )
+    S = int(sweep_id.max()) + 1
+    lw_data = lw_data - np.logaddexp.reduce(lw_data) + np.log(1.0 - umbrella_mass)
+    edges = np.linspace(-np.pi, np.pi, n_bins + 1)
+    parts_x, parts_lw = [data], [lw_data]
+    for s in range(S):
+        sel = sweep_id == s
+        f_s, c_s, w_s = frames[sel], cvs[sel, s], logw[sel]
+        which = np.clip(np.searchsorted(edges, c_s) - 1, 0, n_bins - 1)
+        occupied = np.unique(which)
+        mass_bin = umbrella_mass / (S * len(occupied))
+        lw_s = np.full(len(f_s), -np.inf)
+        for b in occupied:
+            m = which == b
+            lw_s[m] = w_s[m] - np.logaddexp.reduce(w_s[m]) + np.log(mass_bin)
+        parts_x.append(f_s)
+        parts_lw.append(lw_s)
+    X = np.concatenate(parts_x).astype(np.float32)
+    LW = np.concatenate(parts_lw).astype(np.float32)
+    keep = np.isfinite(LW)
+    return X[keep], LW[keep]
+
+
+def _make_gen(n_res, data, marginals):
+    from bgflow_tpu.models.polyala import make_polyala_generator
+
+    return make_polyala_generator(
         n_res, data, use_pallas_spline=True, marginals_from="data",
         torsion_cross_couplings=4, hidden=(256, 256), num_bins=16,
+        learnable_marginals=marginals,
     )
+
+
+def train_phase(n_res, n_iter=24000, batch=1024, augment=False, marginals=False):
+    import bgflow_tpu as bg
+    import optax
+
+    if augment:
+        data, log_w = _augmented_training_set(n_res)
+        np.savez_compressed(
+            os.path.join(ART, f"polyala{n_res}_train_data.npz"),
+            data=data, log_weights=log_w,
+        )
+    else:
+        blob = np.load(os.path.join(ART, f"polyala{n_res}_data.npz"))
+        data = blob["data"]
+        log_w = blob["log_weights"] if "log_weights" in blob.files else None
+    gen = _make_gen(n_res, data, marginals)
     params = gen.init(jax.random.PRNGKey(0))
     trainer = bg.KLTrainer(
         gen, train_energy=False,
@@ -61,22 +207,23 @@ def train_phase(n_res, n_iter=24000, batch=1024):
     params, opt_state, reporter = trainer.train(
         params, jax.random.PRNGKey(1), n_iter, data=sampler,
         batchsize=batch, scan_chunk=1000, progress_interval=1,
-        checkpoint_dir=os.path.join(ART, f"polyala{n_res}_ckpt"),
+        checkpoint_dir=os.path.join(ART, f"polyala{n_res}_ckpt{_tag(augment, marginals)}"),
     )
     print("final loss:", reporter.losses()[0][-20:].mean(), flush=True)
 
 
-def eval_phase(n_res, n_eval=50000):
+def eval_phase(n_res, n_eval=50000, augment=False, marginals=False):
     import bgflow_tpu as bg
-    from bgflow_tpu.models.polyala import make_polyala_generator
     from bgflow_tpu.utils.checkpoint import restore_checkpoint
 
-    data = np.load(os.path.join(ART, f"polyala{n_res}_data.npz"))["data"]
-    gen = make_polyala_generator(
-        n_res, data, use_pallas_spline=True, marginals_from="data",
-        torsion_cross_couplings=4, hidden=(256, 256), num_bins=16,
-    )
-    params = restore_checkpoint(os.path.join(ART, f"polyala{n_res}_ckpt"))["params"]
+    train_path = os.path.join(ART, f"polyala{n_res}_train_data.npz")
+    if augment and os.path.exists(train_path):
+        data = np.load(train_path)["data"]
+    else:
+        data = np.load(os.path.join(ART, f"polyala{n_res}_data.npz"))["data"]
+    gen = _make_gen(n_res, data, marginals)
+    ckpt = os.path.join(ART, f"polyala{n_res}_ckpt{_tag(augment, marginals)}")
+    params = restore_checkpoint(ckpt)["params"]
     out = gen.sample(params, jax.random.PRNGKey(7), n_eval, with_log_weights=True)
     lw = out.log_weights
     finite = jnp.isfinite(lw)
@@ -84,6 +231,7 @@ def eval_phase(n_res, n_eval=50000):
     res = {
         "n_res": n_res,
         "n_eval": n_eval,
+        "config": {"augment": augment, "learnable_marginals": marginals},
         "ess": ess,
         "sampling_efficiency_pct": 100.0 * ess / n_eval,
         "logw_std": float(jnp.std(jnp.where(finite, lw, jnp.nan), where=finite)),
@@ -95,18 +243,24 @@ def eval_phase(n_res, n_eval=50000):
             jnp.mean(gen.target.energy(jnp.asarray(data[:4096])))
         ),
     }
-    path = os.path.join(ART, f"polyala{n_res}.json")
+    path = os.path.join(ART, f"polyala{n_res}{_tag(augment, marginals)}.json")
     with open(path, "w") as fh:
         json.dump(res, fh, indent=1)
     print(json.dumps(res, indent=1), flush=True)
 
 
 if __name__ == "__main__":
-    phase = sys.argv[1] if len(sys.argv) > 1 else "all"
-    n_res = int(sys.argv[2]) if len(sys.argv) > 2 else 3
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    flags = {a for a in sys.argv[1:] if a.startswith("--")}
+    phase = args[0] if args else "all"
+    n_res = int(args[1]) if len(args) > 1 else 3
+    augment = "--augment" in flags
+    marginals = "--marginals" in flags
     if phase in ("data", "all"):
         data_phase(n_res)
+    if phase in ("umbrella",) or (phase == "all" and augment):
+        umbrella_phase(n_res)
     if phase in ("train", "all"):
-        train_phase(n_res)
+        train_phase(n_res, augment=augment, marginals=marginals)
     if phase in ("eval", "all"):
-        eval_phase(n_res)
+        eval_phase(n_res, augment=augment, marginals=marginals)

@@ -116,6 +116,51 @@ def test_umbrella_sampling_2d_periodic(key):
     assert abs(float(bx) - 0.0) < 0.6 and abs(float(by) - 1.0) < 0.6
 
 
+def test_umbrella_masked_per_component_sweeps(key):
+    """cv_mask one-hot rows: independent per-component umbrella sweeps run
+    as ONE batch with a joint MBAR (the per-dihedral peptide recipe)."""
+    a = 2.0
+
+    class TorusEnergy(bg.Energy):
+        def __init__(self):
+            super().__init__(2)
+
+        def _energy(self, x):
+            return -a * jnp.cos(x[:, 0]) - a * jnp.cos(x[:, 1] - 1.0)
+
+    target = TorusEnergy()
+    n_win = 8
+    g = jnp.linspace(-jnp.pi, jnp.pi, n_win, endpoint=False)
+    # sweep 0 biases component 0; sweep 1 biases component 1
+    centers = jnp.concatenate([
+        jnp.stack([g, jnp.zeros_like(g)], axis=-1),
+        jnp.stack([jnp.zeros_like(g), g], axis=-1),
+    ])
+    mask = jnp.concatenate([
+        jnp.tile(jnp.asarray([[1.0, 0.0]]), (n_win, 1)),
+        jnp.tile(jnp.asarray([[0.0, 1.0]]), (n_win, 1)),
+    ])
+    us = UmbrellaSampling(
+        target, cv=lambda x: x, centers=centers, k_umbrella=3.0,
+        cv_period=2 * jnp.pi, cv_mask=mask, noise_std=0.35, stride=4,
+        n_burnin=200,
+    )
+    samples = us.run(key, centers, n_iterations=900)
+    assert samples.shape == (900, 2 * n_win, 2)
+    # each window's biased component stays near its center
+    cv_means_0 = samples[:, :n_win, 0]
+    circ_mean = jnp.angle(jnp.mean(jnp.exp(1j * cv_means_0), axis=0))
+    d = jnp.abs(jnp.mod(circ_mean - g + jnp.pi, 2 * jnp.pi) - jnp.pi)
+    assert float(jnp.max(d)) < 0.8
+    cv_vals, log_w = us.unbiased_log_weights(samples)
+    w = jnp.exp(log_w)
+    got = float(jnp.sum(w * (jnp.cos(cv_vals[:, 0]) > 0)))
+    xs = np.linspace(-np.pi, np.pi, 4001)
+    p = np.exp(a * np.cos(xs))
+    want = float(np.trapz(p * (np.cos(xs) > 0), xs) / np.trapz(p, xs))
+    assert got == pytest.approx(want, abs=0.08)
+
+
 def test_checkpoint_roundtrip(tmp_path, key):
     state = {
         "params": {"w": jax.random.normal(key, (4, 4)), "b": jnp.zeros(4)},
