@@ -79,6 +79,7 @@ class ClassicalForceField(Energy):
         temperature: float = 300.0,
         two_event_dims: bool = False,
         eps: float = 1e-7,
+        nonbonded_cutoff=None,
     ):
         if two_event_dims:
             super().__init__([n_atoms, 3])
@@ -95,6 +96,11 @@ class ClassicalForceField(Energy):
         )
         # optional GBSA implicit-solvent terms (energies/gbsa.py::GBSATerms)
         self.gbsa = gbsa
+        # optional O(N) cell-list nonbonded path (neighborlist.py) replacing
+        # the dense (N, N) sum — the scale-up configuration for large systems
+        if nonbonded_cutoff is not None and nonbonded is not None:
+            raise ValueError("pass either nonbonded (dense) or nonbonded_cutoff, not both")
+        self.nonbonded_cutoff = nonbonded_cutoff
         self.temperature = float(temperature)
         self.kt = KB_KJ_PER_MOL_K * self.temperature
         self.eps = eps
@@ -173,13 +179,18 @@ class ClassicalForceField(Energy):
     def potential_energy(self, x):
         """Total potential in kJ/mol; x: (B, N*3) or (B, N, 3) in nm."""
         x = x.reshape(x.shape[0], self.n_atoms, 3)
-        return (
+        total = (
             self.bond_energy(x)
             + self.angle_energy(x)
             + self.torsion_energy(x)
             + self.nonbonded_energy(x)
             + self.gbsa_energy(x)
         )
+        if self.nonbonded_cutoff is not None:
+            total = total + self.nonbonded_cutoff.potential_energy(
+                x.reshape(x.shape[0], -1)
+            )
+        return total
 
     def _energy(self, x):
         return self.potential_energy(x) / self.kt

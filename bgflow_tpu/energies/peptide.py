@@ -152,10 +152,20 @@ def build_forcefield_from_topology(
     bonds,
     temperature: float = 300.0,
     two_event_dims: bool = False,
+    cutoff: Optional[float] = None,
+    box=None,
+    cell_capacity: int = 32,
 ) -> ClassicalForceField:
     """Assemble a ClassicalForceField from (atoms, bonds) using the
     parm99/ff99SB type tables (same logic as ``build_ala2_forcefield``,
-    generalized over the topology)."""
+    generalized over the topology).
+
+    With ``cutoff`` (nm) the nonbonded part switches from the dense (N, N)
+    sum to the O(N) cell-list path (``energies/neighborlist.py``) — the
+    scale-up configuration for chains beyond a few hundred atoms.  ``box``
+    is the (lower, upper) binning window; default ±2.5 nm around the origin
+    (open boundaries: atoms outside are clamped into the binning box, which
+    never drops in-cutoff pairs)."""
     types = [t for _, t, _ in atoms]
     charges = np.array([q for _, _, q in atoms])
     n = len(types)
@@ -212,6 +222,25 @@ def build_forcefield_from_topology(
     )
     sigma = np.array([2.0 * _LJ_PARAMS[t][0] * 2 ** (-1 / 6) / 10.0 for t in types])
     epsilon = np.array([_LJ_PARAMS[t][1] * _KCAL for t in types])
+    if cutoff is not None:
+        from .neighborlist import (
+            CutoffNonbondedEnergy,
+            exclusions_from_bonds,
+            make_cell_grid,
+        )
+
+        terms = exclusions_from_bonds(n, bonds, charges, sigma, epsilon)
+        if box is None:
+            half = 2.5
+            box = (np.full(3, -half), np.full(3, half))
+        grid = make_cell_grid(box[0], box[1], cutoff, capacity=cell_capacity)
+        nb_cut = CutoffNonbondedEnergy(
+            n, terms, grid, cutoff, temperature=temperature
+        )
+        return ClassicalForceField(
+            n_atoms=n, bonded=bonded, nonbonded=None, nonbonded_cutoff=nb_cut,
+            temperature=temperature, two_event_dims=two_event_dims,
+        )
     scale_lj, scale_coul = exclusion_scales(n, bonds)
     nonbonded = NonbondedTerms(
         charges=charges, sigma=sigma, epsilon=epsilon,
@@ -224,12 +253,20 @@ def build_forcefield_from_topology(
 
 
 def build_polyala_forcefield(
-    n_res: int, temperature: float = 300.0, two_event_dims: bool = False
+    n_res: int, temperature: float = 300.0, two_event_dims: bool = False,
+    cutoff: Optional[float] = None, box=None, cell_capacity: int = 32,
 ) -> ClassicalForceField:
-    """ACE-(ALA)_n-NME force field (n_res=1 reproduces ala2)."""
+    """ACE-(ALA)_n-NME force field (n_res=1 reproduces ala2).
+
+    ``cutoff`` switches nonbonded to the O(N) cell-list path; the default
+    binning box scales with the chain's extended length."""
     atoms, bonds = build_peptide_topology(["ACE"] + ["ALA"] * n_res + ["NME"])
+    if cutoff is not None and box is None:
+        half = max(2.5, 0.4 * n_res + 1.5)
+        box = (np.full(3, -half), np.full(3, half))
     return build_forcefield_from_topology(
-        atoms, bonds, temperature=temperature, two_event_dims=two_event_dims
+        atoms, bonds, temperature=temperature, two_event_dims=two_event_dims,
+        cutoff=cutoff, box=box, cell_capacity=cell_capacity,
     )
 
 
