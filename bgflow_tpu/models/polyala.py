@@ -215,6 +215,7 @@ def make_polyala_generator(
     use_pallas_spline: bool = False,
     marginals_from: str = "forcefield",
     torsion_cross_couplings: int = 2,
+    torsion_scheme: str = "even_odd",
     learnable_marginals: bool = False,
     architecture=(
         (TORSIONS, FIXED),
@@ -228,11 +229,22 @@ def make_polyala_generator(
     """Spline-coupling BG for ACE-(ALA)_n-NME (ala2-flagship architecture,
     generic over chain length).
 
-    ``torsion_cross_couplings``: rounds of even/odd torsion couplings
+    ``torsion_cross_couplings``: rounds of torsion-torsion couplings
     prepended to the ala2 stack.  Longer chains have several strongly
     coupled backbone dihedrals; the ala2 architecture conditions torsions
     only on the (small) whitened block and on bonds/angles, which cannot
     express torsion-torsion correlations at all.
+
+    ``torsion_scheme``:
+      * ``"even_odd"`` — alternate halves condition each other (RealNVP
+        checkerboard along the torsion axis), ``torsion_cross_couplings``
+        rounds.
+      * ``"residue_ar"`` — residue-autoregressive: torsions grouped by the
+        residue of their placed atom (z-matrix row order); group g is
+        conditioned on all previous groups + FIXED, exactly the chain-rule
+        factorization p(t) = prod_g p(t_g | t_<g).  One extra reverse
+        even/odd round per ``torsion_cross_couplings > 1`` mixes information
+        backwards.
     """
     data = np.asarray(data)
     z, fixed = polyala_z_matrix(n_res)
@@ -244,7 +256,7 @@ def make_polyala_generator(
     shape_info = ShapeDictionary.from_coordinate_transform(crd)
     builder = BoltzmannGeneratorBuilder(shape_info, target=target)
     tkw = dict(use_pallas=True) if use_pallas_spline else dict()
-    if torsion_cross_couplings:
+    if torsion_cross_couplings and torsion_scheme == "even_odd":
         d_t = builder.current_dims[TORSIONS][-1]
         idx_a = np.arange(0, d_t, 2)
         idx_b = np.arange(1, d_t, 2)
@@ -257,6 +269,42 @@ def make_polyala_generator(
                 tb, on=(ta, FIXED), hidden=hidden, num_bins=num_bins, transformer_kwargs=tkw
             )
         builder.add_merge((ta, tb), to=TORSIONS, sizes_or_indices=[idx_a, idx_b])
+    elif torsion_cross_couplings and torsion_scheme == "residue_ar":
+        # residue of each torsion's placed atom (z rows beyond the 3 seeded
+        # reference atoms each contribute one torsion channel, in row order)
+        def _residue_of(a):
+            if a < 6:
+                return 0
+            if a >= 6 + 10 * n_res:
+                return n_res + 1
+            return 1 + (a - 6) // 10
+
+        placed = [int(row[0]) for row in z]
+        d_t = builder.current_dims[TORSIONS][-1]
+        # torsion channel i corresponds to placed atom of z row i (the IC
+        # transform measures one (bond, angle, torsion) triplet per row)
+        res_of_torsion = np.asarray([_residue_of(placed[i]) for i in range(d_t)])
+        groups = [np.nonzero(res_of_torsion == r)[0] for r in range(n_res + 2)]
+        groups = [g for g in groups if len(g)]
+        names = [f"torsions_res{gi}" for gi in range(len(groups))]
+        fields = builder.add_split(TORSIONS, names, groups)
+        for gi, f in enumerate(fields):
+            on = (FIXED,) + tuple(fields[:gi])
+            builder.add_condition(
+                f, on=on, hidden=hidden, num_bins=num_bins, transformer_kwargs=tkw
+            )
+        # reverse rounds: anti-causal even/odd mixing so early residues see
+        # late ones too
+        for _ in range(max(0, torsion_cross_couplings - 1)):
+            for gi, f in enumerate(fields):
+                on = (FIXED,) + tuple(fields[gi + 1:])
+                if len(on) > 1:
+                    builder.add_condition(
+                        f, on=on, hidden=hidden, num_bins=num_bins, transformer_kwargs=tkw
+                    )
+        builder.add_merge(fields, to=TORSIONS, sizes_or_indices=groups)
+    elif torsion_cross_couplings:
+        raise ValueError(f"unknown torsion_scheme {torsion_scheme!r}")
     for what, on in architecture:
         builder.add_condition(
             what, on=on, hidden=hidden, num_bins=num_bins, transformer_kwargs=tkw

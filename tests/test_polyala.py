@@ -103,6 +103,17 @@ def test_polyala_generator_end_to_end(key):
     )
     assert max(jax.tree_util.tree_leaves(diff)) > 0.0
 
+    # residue-autoregressive torsion couplings: exact inverse
+    gen_ar = make_polyala_generator(
+        n_res, data, hidden=(32, 32), num_bins=4,
+        torsion_scheme="residue_ar", torsion_cross_couplings=2,
+    )
+    params_ar = gen_ar.init(jax.random.PRNGKey(4))
+    out_ar = gen_ar.sample(params_ar, jax.random.PRNGKey(5), 64, with_energy=True)
+    assert bool(jnp.all(jnp.isfinite(out_ar.xs[0])))
+    nll_ar = gen_ar.energy(params_ar, out_ar.xs[0])
+    assert_close(nll_ar, out_ar.energy, 5e-3)
+
 
 @pytest.mark.slow
 def test_polyala_all_rung_mbar_weights(key):
