@@ -146,6 +146,7 @@ from .utils.free_energy import bennett_acceptance_ratio, mbar, one_sided_reweigh
 from .utils.checkpoint import save_checkpoint, restore_checkpoint, latest_step
 from .utils.profiling import Timer, trace, scope
 from .parallel.mesh import make_mesh, shard_batch, replicate, data_parallel_shardings
+from .parallel.energy import ShardedForceFieldEnergy, make_mesh_2d
 from .parallel.tempering import ReplicaExchangeStep, sharded_replica_exchange
 from .parallel.smc import (
     normalize_log_weights,
