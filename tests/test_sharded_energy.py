@@ -51,6 +51,21 @@ def test_sharded_force_matches_dense():
     np.testing.assert_allclose(f_shard / scale, f_dense / scale, atol=3e-5)
 
 
+def test_model_parallel_md_matches_dense():
+    """BAOAB MD driven by the sharded energy reproduces the dense trajectory
+    (same keys -> same noise -> same positions, model-parallel forces)."""
+    from bgflow_tpu.samplers.md import baoab_run
+
+    ff = build_ala2_forcefield()
+    mesh = make_mesh(8, axis_name="mp")
+    sh = ShardedForceFieldEnergy(mesh, ff)
+    x0 = _batch(jax.random.PRNGKey(4), n=2, scale=0.0)
+    key = jax.random.PRNGKey(5)
+    traj_dense = np.asarray(baoab_run(ff, x0, key, 20, timestep=5e-4)[0])
+    traj_shard = np.asarray(baoab_run(sh, x0, key, 20, timestep=5e-4)[0])
+    np.testing.assert_allclose(traj_shard, traj_dense, atol=1e-4)
+
+
 def test_sharded_energy_under_jit_batch_sharded():
     """2-D (dp, mp) mesh: outer batch sharding composes with the row shard."""
     from jax.sharding import NamedSharding, PartitionSpec as P
