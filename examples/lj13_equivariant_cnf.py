@@ -1,0 +1,115 @@
+"""Equivariant CNF Boltzmann generator for the LJ13 cluster.
+
+The particle-system demo from the reference's smooth-flow line of work
+(reference capability: ``bgflow/nn/flow/dynamics/kernel_dynamic.py`` +
+``MeanFreeNormalDistribution``, exercised in its notebooks): 13
+Lennard-Jones particles in 3-D, a translation-invariant mean-free Gaussian
+prior, and an E(3)-equivariant RBF-kernel dynamics whose divergence is
+closed-form — no Hutchinson noise, exact likelihoods.
+
+This is the flow family where dense conditioner couplings genuinely fail
+(particle permutation symmetry), and the TPU shape of the problem is
+different from the peptide flagship: the whole ODE integrates as one
+``lax.scan`` over fused pairwise-RBF kernels, so batch is the only axis
+that matters.
+
+Run (CPU ok, ~2 min):  python examples/lj13_equivariant_cnf.py
+"""
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+import bgflow_tpu as bg
+from bgflow_tpu.flows.cnf import DiffEqFlow, KernelDynamics
+
+N_PARTICLES, N_DIMS = 13, 3
+DIM = N_PARTICLES * N_DIMS
+
+
+def main(n_iter=300, batch=256):
+    lj = bg.LennardJonesPotential(
+        DIM, N_PARTICLES, eps=1.0, rm=1.0, oscillator=True,
+        oscillator_scale=1.0, two_event_dims=False,
+    )
+    # linlogcut tames the r^-12 singularity during the early iterations
+    # (the reference regularizes LJ training the same way)
+    target = bg.LinLogCutEnergy(lj, high_energy=1e3, max_energy=1e8)
+    prior = bg.MeanFreeNormalDistribution(DIM, N_PARTICLES, std=1.0, two_event_dims=False)
+
+    # RBF kernels spanning the relevant pair-distance range of the cluster
+    mus = jnp.linspace(0.0, 4.0, 32)
+    gammas = 0.6 * jnp.ones(32)
+    dyn = KernelDynamics(N_PARTICLES, N_DIMS, mus, gammas)
+    flow = DiffEqFlow(dyn, integrator="rk4", n_time_steps=16, use_checkpoints=True)
+
+    gen = bg.BoltzmannGenerator(prior, flow, target)
+    params = gen.init(jax.random.PRNGKey(0))
+
+    optimizer = optax.chain(
+        optax.clip_by_global_norm(10.0),
+        optax.adam(optax.cosine_decay_schedule(5e-3, n_iter, 0.05)),
+    )
+    opt_state = optimizer.init(params)
+
+    @jax.jit
+    def step(params, opt_state, key):
+        def loss_fn(p):
+            return jnp.mean(gen.kldiv(p, key, batch))
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state2 = optimizer.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state2, loss
+
+    key = jax.random.PRNGKey(1)
+    t0 = time.time()
+    first = last = None
+    for i in range(n_iter):
+        key, sub = jax.random.split(key)
+        params, opt_state, loss = step(params, opt_state, sub)
+        if i == 0:
+            first = float(loss)
+        if i % 50 == 0:
+            print(f"iter {i:4d}  KL {float(loss):9.3f}", flush=True)
+    last = float(loss)
+
+    out = gen.sample(params, jax.random.PRNGKey(7), 4096, with_log_weights=True)
+    ess = float(bg.effective_sample_size(out.log_weights))
+    lw = out.log_weights
+    finite = jnp.isfinite(lw)
+    e_samples = lj.energy(out.xs[0])
+    print(f"\ntrained {n_iter} iters in {time.time()-t0:.0f}s: "
+          f"KL {first:.2f} -> {last:.2f}, ESS {ess:.0f}/4096")
+    print(f"sample energy median {float(jnp.median(e_samples)):.1f} kT "
+          f"(untrained prior pushforward ~1e9), "
+          f"logw std {float(jnp.std(lw, where=finite)):.1f}")
+    # NOTE the kernel dynamics is a deliberately small equivariant family
+    # (a handful of radial RBF weights); it matches the cluster's energy
+    # scale but not per-mode weights, so importance ESS stays low — same
+    # behavior as the reference's kernel-dynamics notebooks.  The point of
+    # this demo is the machinery: exact closed-form divergence, E(3)
+    # equivariance, permutation invariance, ODE scan on device.
+
+    # E(3) equivariance check: rotating the latent rotates the output
+    q, r = jnp.linalg.qr(jax.random.normal(jax.random.PRNGKey(3), (N_DIMS, N_DIMS)))
+    R = q * jnp.sign(jnp.diag(r))[None, :]  # proper rotation (det +1 up to sign flip)
+    R = jnp.where(jnp.linalg.det(R) < 0, R.at[:, 0].mul(-1.0), R)
+    z = prior.sample(jax.random.PRNGKey(11), 8)
+    zr = (z.reshape(-1, N_PARTICLES, N_DIMS) @ R.T).reshape(-1, DIM)
+    (y,), _ = flow.forward(params, (z,))
+    (yr,), _ = flow.forward(params, (zr,))
+    rot_err = float(jnp.max(jnp.abs(
+        yr.reshape(-1, N_PARTICLES, N_DIMS) - y.reshape(-1, N_PARTICLES, N_DIMS) @ R.T
+    )))
+    print(f"equivariance |f(Rz) - R f(z)|_max = {rot_err:.2e}")
+    return first, last, ess, rot_err
+
+
+if __name__ == "__main__":
+    main()
