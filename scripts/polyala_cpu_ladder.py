@@ -83,10 +83,21 @@ def main():
     batch = int(sys.argv[2]) if len(sys.argv) > 2 else 512
     blob = np.load(os.path.join(ART, "polyala3_data.npz"))
     data, log_w = blob["data"], blob["log_weights"]
+    out_path = os.path.join(ART, "polyala3_cpu_ladder.json")
     results = {"n_iter": n_iter, "batch": batch, "variants": {}}
+    # resume: keep variants already measured at this scale (reruns after a
+    # timeout only pay for what is missing)
+    if os.path.exists(out_path):
+        with open(out_path) as fh:
+            prev = json.load(fh)
+        if prev.get("n_iter") == n_iter and prev.get("batch") == batch:
+            results["variants"].update(prev.get("variants", {}))
     for name, kw in VARIANTS.items():
+        if name in results["variants"]:
+            print(f"{name:>22}: cached", flush=True)
+            continue
         results["variants"][name] = run_variant(name, kw, data, log_w, n_iter, batch)
-        with open(os.path.join(ART, "polyala3_cpu_ladder.json"), "w") as fh:
+        with open(out_path, "w") as fh:
             json.dump(results, fh, indent=1)
 
 
