@@ -172,7 +172,13 @@ from .utils.autograd import brute_force_jacobian, brute_force_jacobian_trace, ba
 
 from .flows.circular import CircularTransform, ConditionalCircularTransform
 from .utils.permutation import HungarianMapper
-from .utils.trajectory import save_pdb_trajectory, save_xyz_trajectory, NumpyReporter
+from .utils.trajectory import (
+    save_pdb_trajectory,
+    save_xyz_trajectory,
+    save_dcd_trajectory,
+    read_dcd_trajectory,
+    NumpyReporter,
+)
 from .utils.serving import export_sampler, export_energy, save_exported, load_exported
 from .nets.gnn import InvariantGNN, EquivariantGNN, GNNConditioner
 
