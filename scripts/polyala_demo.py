@@ -10,7 +10,7 @@ Phases (each writes/extends artifacts/polyala{N}.json + checkpoints):
              umbrella augmentation + learnable marginal layers
   eval     — sampling efficiency / log-weight statistics
 
-Run:  python scripts/polyala_demo.py <phase> [n_res] [--augment] [--marginals]
+Run:  python scripts/polyala_demo.py <phase> [n_res] [--augment] [--marginals] [--residue_ar]
 """
 import json
 import os
@@ -25,8 +25,9 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 ART = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "artifacts")
 
 
-def _tag(augment, marginals):
-    return ("_aug" if augment else "") + ("_m" if marginals else "")
+def _tag(augment, marginals, residue_ar=False):
+    return ("_aug" if augment else "") + ("_m" if marginals else "") + (
+        "_ar" if residue_ar else "")
 
 
 def data_phase(n_res, n_samples=98304):
@@ -172,17 +173,19 @@ def _augmented_training_set(n_res, umbrella_mass=0.25, n_bins=16):
     return X[keep], LW[keep]
 
 
-def _make_gen(n_res, data, marginals):
+def _make_gen(n_res, data, marginals, residue_ar=False):
     from bgflow_tpu.models.polyala import make_polyala_generator
 
     return make_polyala_generator(
         n_res, data, use_pallas_spline=True, marginals_from="data",
         torsion_cross_couplings=4, hidden=(256, 256), num_bins=16,
         learnable_marginals=marginals,
+        torsion_scheme="residue_ar" if residue_ar else "even_odd",
     )
 
 
-def train_phase(n_res, n_iter=24000, batch=1024, augment=False, marginals=False):
+def train_phase(n_res, n_iter=24000, batch=1024, augment=False, marginals=False,
+                residue_ar=False):
     import bgflow_tpu as bg
     import optax
 
@@ -196,7 +199,7 @@ def train_phase(n_res, n_iter=24000, batch=1024, augment=False, marginals=False)
         blob = np.load(os.path.join(ART, f"polyala{n_res}_data.npz"))
         data = blob["data"]
         log_w = blob["log_weights"] if "log_weights" in blob.files else None
-    gen = _make_gen(n_res, data, marginals)
+    gen = _make_gen(n_res, data, marginals, residue_ar)
     params = gen.init(jax.random.PRNGKey(0))
     trainer = bg.KLTrainer(
         gen, train_energy=False,
@@ -207,12 +210,13 @@ def train_phase(n_res, n_iter=24000, batch=1024, augment=False, marginals=False)
     params, opt_state, reporter = trainer.train(
         params, jax.random.PRNGKey(1), n_iter, data=sampler,
         batchsize=batch, scan_chunk=1000, progress_interval=1,
-        checkpoint_dir=os.path.join(ART, f"polyala{n_res}_ckpt{_tag(augment, marginals)}"),
+        checkpoint_dir=os.path.join(ART, f"polyala{n_res}_ckpt{_tag(augment, marginals, residue_ar)}"),
     )
     print("final loss:", reporter.losses()[0][-20:].mean(), flush=True)
 
 
-def eval_phase(n_res, n_eval=50000, augment=False, marginals=False):
+def eval_phase(n_res, n_eval=50000, augment=False, marginals=False,
+               residue_ar=False):
     import bgflow_tpu as bg
     from bgflow_tpu.utils.checkpoint import restore_checkpoint
 
@@ -221,8 +225,8 @@ def eval_phase(n_res, n_eval=50000, augment=False, marginals=False):
         data = np.load(train_path)["data"]
     else:
         data = np.load(os.path.join(ART, f"polyala{n_res}_data.npz"))["data"]
-    gen = _make_gen(n_res, data, marginals)
-    ckpt = os.path.join(ART, f"polyala{n_res}_ckpt{_tag(augment, marginals)}")
+    gen = _make_gen(n_res, data, marginals, residue_ar)
+    ckpt = os.path.join(ART, f"polyala{n_res}_ckpt{_tag(augment, marginals, residue_ar)}")
     params = restore_checkpoint(ckpt)["params"]
     out = gen.sample(params, jax.random.PRNGKey(7), n_eval, with_log_weights=True)
     lw = out.log_weights
@@ -231,7 +235,8 @@ def eval_phase(n_res, n_eval=50000, augment=False, marginals=False):
     res = {
         "n_res": n_res,
         "n_eval": n_eval,
-        "config": {"augment": augment, "learnable_marginals": marginals},
+        "config": {"augment": augment, "learnable_marginals": marginals,
+                   "residue_ar": residue_ar},
         "ess": ess,
         "sampling_efficiency_pct": 100.0 * ess / n_eval,
         "logw_std": float(jnp.std(jnp.where(finite, lw, jnp.nan), where=finite)),
@@ -243,7 +248,7 @@ def eval_phase(n_res, n_eval=50000, augment=False, marginals=False):
             jnp.mean(gen.target.energy(jnp.asarray(data[:4096])))
         ),
     }
-    path = os.path.join(ART, f"polyala{n_res}{_tag(augment, marginals)}.json")
+    path = os.path.join(ART, f"polyala{n_res}{_tag(augment, marginals, residue_ar)}.json")
     with open(path, "w") as fh:
         json.dump(res, fh, indent=1)
     print(json.dumps(res, indent=1), flush=True)
@@ -256,11 +261,12 @@ if __name__ == "__main__":
     n_res = int(args[1]) if len(args) > 1 else 3
     augment = "--augment" in flags
     marginals = "--marginals" in flags
+    residue_ar = "--residue_ar" in flags
     if phase in ("data", "all"):
         data_phase(n_res)
     if phase in ("umbrella",) or (phase == "all" and augment):
         umbrella_phase(n_res)
     if phase in ("train", "all"):
-        train_phase(n_res, augment=augment, marginals=marginals)
+        train_phase(n_res, augment=augment, marginals=marginals, residue_ar=residue_ar)
     if phase in ("eval", "all"):
-        eval_phase(n_res, augment=augment, marginals=marginals)
+        eval_phase(n_res, augment=augment, marginals=marginals, residue_ar=residue_ar)
