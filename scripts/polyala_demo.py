@@ -177,7 +177,11 @@ def _make_gen(n_res, data, marginals, residue_ar=False):
     from bgflow_tpu.models.polyala import make_polyala_generator
 
     return make_polyala_generator(
-        n_res, data, use_pallas_spline=True, marginals_from="data",
+        n_res, data,
+        # fused Pallas kernels on TPU; on CPU the interpret-mode emulation
+        # is far slower than the plain XLA path (numerics identical)
+        use_pallas_spline=jax.default_backend() == "tpu",
+        marginals_from="data",
         torsion_cross_couplings=4, hidden=(256, 256), num_bins=16,
         learnable_marginals=marginals,
         torsion_scheme="residue_ar" if residue_ar else "even_odd",
