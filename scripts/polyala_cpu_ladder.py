@@ -33,9 +33,24 @@ ART = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), 
 VARIANTS = {
     "baseline": dict(),
     "marginals": dict(learnable_marginals=True),
+    # umbrella-augmented training set (the fix that rescued the ala2
+    # flagship): per-dihedral umbrella frames with near-uniform coverage
+    # mixed into the exact ensemble (scripts/polyala_demo.py logic)
+    "augment": dict(_augment=True),
+    "augment+marginals": dict(_augment=True, learnable_marginals=True),
     "residue_ar": dict(torsion_scheme="residue_ar"),
     "marginals+residue_ar": dict(learnable_marginals=True, torsion_scheme="residue_ar"),
 }
+
+
+def _load_demo_module():
+    import importlib.util
+
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "polyala_demo.py")
+    spec = importlib.util.spec_from_file_location("polyala_demo", path)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
 
 
 def run_variant(name, kw, data, log_w, n_iter, batch, n_eval=20000):
@@ -92,11 +107,19 @@ def main():
             prev = json.load(fh)
         if prev.get("n_iter") == n_iter and prev.get("batch") == batch:
             results["variants"].update(prev.get("variants", {}))
+    aug_cache = None
     for name, kw in VARIANTS.items():
         if name in results["variants"]:
             print(f"{name:>22}: cached", flush=True)
             continue
-        results["variants"][name] = run_variant(name, kw, data, log_w, n_iter, batch)
+        kw = dict(kw)
+        if kw.pop("_augment", False):
+            if aug_cache is None:
+                aug_cache = _load_demo_module()._augmented_training_set(3)
+            d, lw = aug_cache
+        else:
+            d, lw = data, log_w
+        results["variants"][name] = run_variant(name, kw, d, lw, n_iter, batch)
         with open(out_path, "w") as fh:
             json.dump(results, fh, indent=1)
 
