@@ -51,7 +51,25 @@ def restore_checkpoint(directory: str, step: Optional[int] = None, template: Any
     if template is not None:
         restored = mgr.restore(step, args=ocp.args.StandardRestore(template))
     else:
-        restored = mgr.restore(step)
+        try:
+            restored = mgr.restore(step)
+        except ValueError:
+            # The checkpoint's sharding metadata references devices that do
+            # not exist here (e.g. saved on TPU, restored on CPU).  Rebuild
+            # an abstract template from the stored shapes/dtypes so orbax
+            # places the arrays on the current default device instead.
+            meta = mgr.item_metadata(step)
+            here = jax.sharding.SingleDeviceSharding(jax.devices()[0])
+
+            def as_abstract(m):
+                shape = getattr(m, "shape", None)
+                dtype = getattr(m, "dtype", None)
+                if shape is None or dtype is None:
+                    return m
+                return jax.ShapeDtypeStruct(tuple(shape), dtype, sharding=here)
+
+            template = jax.tree_util.tree_map(as_abstract, meta)
+            restored = mgr.restore(step, args=ocp.args.StandardRestore(template))
     mgr.close()
     return restored
 

@@ -252,6 +252,33 @@ def eval_phase(n_res, n_eval=50000, augment=False, marginals=False,
             jnp.mean(gen.target.energy(jnp.asarray(data[:4096])))
         ),
     }
+    # per-dihedral diagnostics: histogram overlap between (unweighted) model
+    # samples and the data marginal — locates WHICH backbone dof the flow
+    # still mismatches (the ALA3 quality wall is accumulated per-dof error)
+    from bgflow_tpu.energies.peptide import backbone_dihedrals, build_peptide_topology
+    from bgflow_tpu.ops.ic import torsion
+
+    seq = ["ACE"] + ["ALA"] * n_res + ["NME"]
+    dihs = backbone_dihedrals(seq)
+    quads = [d["phi"] for d in dihs] + [d["psi"] for d in dihs]
+    names = [f"phi{d['residue']}" for d in dihs] + [f"psi{d['residue']}" for d in dihs]
+    n_atoms = len(build_peptide_topology(seq)[0])
+
+    def dih(x):
+        p = np.asarray(x).reshape(-1, n_atoms, 3)
+        return np.stack(
+            [np.asarray(torsion(p[:, a], p[:, b], p[:, c], p[:, d], 1e-7))
+             for a, b, c, d in quads], axis=-1)
+
+    edges = np.linspace(-np.pi, np.pi, 25)
+    dm, dd = dih(out.xs[0][:20000]), dih(data[:20000])
+    overlap = {}
+    for s, name in enumerate(names):
+        hm, _ = np.histogram(dm[:, s], bins=edges, density=True)
+        hd, _ = np.histogram(dd[:, s], bins=edges, density=True)
+        # histogram intersection in [0, 1]
+        overlap[name] = round(float(np.minimum(hm, hd).sum() * np.diff(edges)[0]), 4)
+    res["dihedral_overlap_model_vs_data"] = overlap
     path = os.path.join(ART, f"polyala{n_res}{_tag(augment, marginals, residue_ar)}.json")
     with open(path, "w") as fh:
         json.dump(res, fh, indent=1)
