@@ -32,12 +32,13 @@ ART = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), 
 
 VARIANTS = {
     "baseline": dict(),
-    "marginals": dict(learnable_marginals=True),
     # umbrella-augmented training set (the fix that rescued the ala2
     # flagship): per-dihedral umbrella frames with near-uniform coverage
-    # mixed into the exact ensemble (scripts/polyala_demo.py logic)
+    # mixed into the exact ensemble (scripts/polyala_demo.py logic).
+    # Ordered first after baseline: most informative rung per CPU-hour.
     "augment": dict(_augment=True),
     "augment+marginals": dict(_augment=True, learnable_marginals=True),
+    "marginals": dict(learnable_marginals=True),
     "residue_ar": dict(torsion_scheme="residue_ar"),
     "marginals+residue_ar": dict(learnable_marginals=True, torsion_scheme="residue_ar"),
 }
