@@ -35,6 +35,7 @@ from .distributions.product import ProductEnergy, ProductSampler, ProductDistrib
 from .bg import (
     BoltzmannGenerator,
     BGSample,
+    PushforwardEnergy,
     unnormalized_kl_div,
     unnormalized_nll,
     log_weights_given_latent,

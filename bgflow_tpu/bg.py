@@ -141,3 +141,49 @@ class BoltzmannGenerator(Energy, Sampler):
         return log_weights_given_latent(
             x, z, dlogp, self.prior, self.target, temperature=temperature, normalize=normalize
         )
+
+    def latent_energy(self, params, temperature=1.0) -> "PushforwardEnergy":
+        """The target's latent-space image under the current flow (see
+        :class:`PushforwardEnergy`) — run MCMC/HMC chains on it for
+        flow-preconditioned ("NeuTra") sampling of the target."""
+        return PushforwardEnergy(
+            self.flow, params, self.target, self.prior.event_shapes,
+            temperature=temperature,
+        )
+
+
+class PushforwardEnergy(Energy):
+    """Latent-space image of a target under a flow:
+    ``u_z(z) = u_x(F(z)) / T - log|det J_F|(z)``.
+
+    Running ANY MCMC sampler on this energy is flow-preconditioned
+    ("NeuTra") sampling: a trained flow maps the multimodal target to a
+    near-Gaussian latent, where HMC or random-walk chains cross barriers
+    that are insurmountable in x-space.  The chain is exact with respect
+    to the (tempered) target for any flow quality — the flow only affects
+    mixing speed.  Map chain states to target space with :meth:`push`.
+
+    Capability beyond the reference (whose ``LatentProposal``-style MCMC
+    exists here too, ``samplers/mcmc.py``); the HMC-on-pushforward design
+    follows the flow-preconditioned HMC literature (arXiv:2112.01586).
+
+    Note: the sampling temperature is fixed at construction (it scales
+    only the target term, not the log-det); call ``energy(z)`` without a
+    ``temperature`` argument.
+    """
+
+    def __init__(self, flow, params, target, latent_event_shapes, temperature=1.0):
+        super().__init__([list(s) for s in latent_event_shapes])
+        self.flow = flow
+        self.params = params
+        self.target = target
+        self.temperature = temperature
+
+    def _energy(self, *zs):
+        x, dlogp = self.flow.forward(self.params, zs)
+        return self.target.energy(*x, temperature=self.temperature) - dlogp
+
+    def push(self, *zs):
+        """Map latent chain states to target-space samples."""
+        x, _ = self.flow.forward(self.params, zs)
+        return x if len(x) > 1 else x[0]
