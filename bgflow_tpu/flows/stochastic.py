@@ -128,22 +128,32 @@ class LangevinFlow(Flow):
 
 class MetropolisMCFlow(Flow):
     """Metropolis MC SNF layer; dW = E_final - E_initial (reference
-    ``stochastic/mcmc.py:4-51``)."""
+    ``stochastic/mcmc.py:4-51``).
 
-    def __init__(self, energy_model, n_steps: int = 1, stepsize: float = 0.01):
+    ``temperature`` anneals the layer's target to ``exp(-u/T)``.  The
+    AIS-style work accounting keeps the flow's importance weights exact
+    for ANY layer temperature; note that a layer targeting exactly the
+    final density (T = 1 as the last block) provably leaves the weights
+    unchanged — ESS gains come from *annealed* intermediate layers
+    (see ``examples/double_well_snf.py``).
+    """
+
+    def __init__(self, energy_model, n_steps: int = 1, stepsize: float = 0.01,
+                 temperature: float = 1.0):
         self.energy_model = energy_model
         self.n_steps = n_steps
         self.stepsize = stepsize
+        self.temperature = temperature
 
     def _run(self, x, key):
-        e0 = self.energy_model.energy(x)
+        e0 = self.energy_model.energy(x, temperature=self.temperature)
 
         def body(carry, key):
             x, e = carry
             k1, k2 = jax.random.split(key)
             dx = self.stepsize * jax.random.normal(k1, x.shape, dtype=x.dtype)
             x_prop = x + dx
-            e_prop = self.energy_model.energy(x_prop)
+            e_prop = self.energy_model.energy(x_prop, temperature=self.temperature)
             accept = jax.random.uniform(k2, e.shape) < jnp.exp(-(e_prop - e))
             x = jnp.where(accept.reshape(-1, *([1] * (x.ndim - 1))), x_prop, x)
             e = jnp.where(accept, e_prop, e)
