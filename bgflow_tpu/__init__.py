@@ -127,6 +127,7 @@ from .flows.linear import (
     PPPPScheduler,
 )
 from .flows.misc import FunnelFlow, CheckerboardFlow
+from .flows.equivariant import EquivariantCouplingFlow
 from .flows.cnf import (
     DiffEqFlow,
     BlackBoxDynamics,
