@@ -144,64 +144,105 @@ class HMCStep(SamplerStep):
         self.step_size = step_size
         self.n_leapfrog = int(n_leapfrog)
         self.target_temperatures = jnp.asarray(target_temperatures)
-        self.masses = jnp.asarray(masses)
+        # tuple/list = one mass spec per state tensor; anything else is a
+        # scalar or per-feature array shared by all tensors
+        self.masses = (
+            tuple(jnp.asarray(m) for m in masses)
+            if isinstance(masses, (tuple, list))
+            else jnp.asarray(masses)
+        )
         # per-chain step-size jitter dt * U(1-j, 1+j): breaks the leapfrog
         # resonance on harmonic modes (a trajectory length near a half
         # period maps x -> -x and freezes the mode's amplitude — with stiff
         # bonds this silently stalls mixing at full acceptance)
         self.jitter = float(jitter)
 
-    def _grad_u(self, x):
-        return jax.grad(lambda xx: jnp.sum(self.target_energy.energy(xx)))(x)
+    def _grad_u(self, xs):
+        return jax.grad(lambda xx: jnp.sum(self.target_energy.energy(*xx)))(xs)
+
+    def _masses_for(self, xs):
+        """Normalize ``masses`` to one (scalar or per-feature) array per
+        state tensor: scalar/(D,) applies to every tensor (back-compat);
+        a tuple/list gives one entry per tensor (multi-tensor systems,
+        e.g. augmented (x, v) pairs or product spaces)."""
+        if isinstance(self.masses, (tuple, list)):
+            assert len(self.masses) == len(xs)
+            return tuple(jnp.asarray(m) for m in self.masses)
+        return tuple(self.masses for _ in xs)
 
     def _step(self, state: SamplerState, key) -> SamplerState:
-        (x,) = state.samples
+        xs = state.samples
         if state.energies is None:
-            state = state.replace(energies=self.target_energy.energy(x))
+            state = state.replace(energies=self.target_energy.energy(*xs))
         u0 = state.energies
         key_p, key_a, key_j = jax.random.split(key, 3)
 
-        T = jnp.broadcast_to(self.target_temperatures, u0.shape).astype(x.dtype)
-        m = self.masses.astype(x.dtype)  # scalar or (D,)
-        dt = (self.step_size * jnp.sqrt(T))[:, None]
+        dtype = xs[0].dtype
+        T = jnp.broadcast_to(self.target_temperatures, u0.shape).astype(dtype)
+        ms = tuple(m.astype(dtype) for m in self._masses_for(xs))
+        dt_c = self.step_size * jnp.sqrt(T)  # (B,)
         if self.jitter > 0.0:
-            dt = dt * jax.random.uniform(
-                key_j, dt.shape, dtype=x.dtype,
+            dt_c = dt_c * jax.random.uniform(
+                key_j, dt_c.shape, dtype=dtype,
                 minval=1.0 - self.jitter, maxval=1.0 + self.jitter,
             )
 
-        p = jnp.sqrt(m) * jax.random.normal(key_p, x.shape, dtype=x.dtype)
+        def bcast(c, a):  # (B,) -> (B, 1, ..., 1) matching a's rank
+            return c.reshape(c.shape[0], *([1] * (a.ndim - 1)))
 
-        def kinetic(p):
-            return 0.5 * jnp.sum(p * p / m, axis=-1)
+        keys_p = jax.random.split(key_p, len(xs))
+        ps = tuple(
+            jnp.sqrt(m) * jax.random.normal(k, x.shape, dtype=dtype)
+            for x, m, k in zip(xs, ms, keys_p)
+        )
 
-        h0 = u0 / T + kinetic(p)
+        def kinetic(ps):
+            return sum(
+                0.5 * jnp.sum((p * p / m).reshape(p.shape[0], -1), axis=-1)
+                for p, m in zip(ps, ms)
+            )
 
-        inv_T = (1.0 / T)[:, None]
+        h0 = u0 / T + kinetic(ps)
+
+        inv_T = 1.0 / T
         # leapfrog on phi(x) = u(x)/T: half kick, L-1 full (drift+kick),
         # final drift + half kick
-        p = p - 0.5 * dt * inv_T * self._grad_u(x)
+        def kick(xs, ps, scale):
+            gs = self._grad_u(xs)
+            return tuple(
+                p - scale * bcast(dt_c * inv_T, p) * g for p, g in zip(ps, gs)
+            )
+
+        def drift(xs, ps):
+            return tuple(
+                x + bcast(dt_c, x) * p / m for x, p, m in zip(xs, ps, ms)
+            )
+
+        ps = kick(xs, ps, 0.5)
 
         def drift_kick(carry, _):
-            x, p = carry
-            x = x + dt * p / m
-            p = p - dt * inv_T * self._grad_u(x)
-            return (x, p), None
+            xs, ps = carry
+            xs = drift(xs, ps)
+            ps = kick(xs, ps, 1.0)
+            return (xs, ps), None
 
         if self.n_leapfrog > 1:
-            (x, p), _ = jax.lax.scan(drift_kick, (x, p), None, length=self.n_leapfrog - 1)
-        x = x + dt * p / m
-        p = p - 0.5 * dt * inv_T * self._grad_u(x)
+            (xs, ps), _ = jax.lax.scan(drift_kick, (xs, ps), None, length=self.n_leapfrog - 1)
+        xs = drift(xs, ps)
+        ps = kick(xs, ps, 0.5)
 
-        u1 = self.target_energy.energy(x)
-        h1 = u1 / T + kinetic(p)
+        u1 = self.target_energy.energy(*xs)
+        h1 = u1 / T + kinetic(ps)
         log_u = jnp.log(jax.random.uniform(key_a, u0.shape))
         # guard: non-finite proposals always reject
         accept = (log_u < -(h1 - h0)) & jnp.isfinite(h1)
 
-        new_x = jnp.where(accept[:, None], x, state.samples[0])
+        merged = tuple(
+            jnp.where(bcast(accept, new), new, old)
+            for new, old in zip(xs, state.samples)
+        )
         new_u = jnp.where(accept, u1, u0)
-        return state.replace(samples=(new_x,), energies=new_u)
+        return state.replace(samples=merged, energies=new_u)
 
 
 def tune_hmc_step_size(

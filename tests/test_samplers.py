@@ -254,3 +254,26 @@ def test_tune_hmc_step_size(key):
     )
     assert 0.45 < acc < 0.95, (step, acc)
     assert step < 25.0
+
+
+def test_hmc_multi_tensor_state(key):
+    """HMCStep on a 2-tensor product target (the augmented-(x, v) /
+    product-space case): both marginals reach their target moments."""
+    import bgflow_tpu as bg
+    from bgflow_tpu.samplers.iterative import SamplerState
+    from bgflow_tpu.samplers.mcmc import HMCStep
+
+    target = bg.ProductEnergy([
+        bg.NormalDistribution(3, mean=jnp.asarray([1.0, -1.0, 0.0])),
+        bg.NormalDistribution(2, cov=jnp.diag(jnp.asarray([4.0, 0.25]))),
+    ])
+    x0 = (jnp.zeros((256, 3)), jnp.zeros((256, 2)))
+    hmc = HMCStep(target, step_size=0.2, n_leapfrog=8, masses=(1.0, jnp.asarray([1.0, 4.0])))
+    state = SamplerState(samples=x0, energies=target.energy(*x0))
+    k = key
+    for _ in range(150):
+        k, sub = jax.random.split(k)
+        state = hmc._step(state, sub)
+    a, b = state.samples
+    np.testing.assert_allclose(np.mean(np.asarray(a), axis=0), [1.0, -1.0, 0.0], atol=0.3)
+    np.testing.assert_allclose(np.std(np.asarray(b), axis=0), [2.0, 0.5], atol=0.4)
