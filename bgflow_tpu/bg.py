@@ -142,12 +142,49 @@ class BoltzmannGenerator(Energy, Sampler):
             x, z, dlogp, self.prior, self.target, temperature=temperature, normalize=normalize
         )
 
-    def latent_energy(self, params, temperature=1.0) -> "PushforwardEnergy":
+    def latent_energy(self, params, temperature=1.0, gaussianize=False) -> "PushforwardEnergy":
         """The target's latent-space image under the current flow (see
         :class:`PushforwardEnergy`) — run MCMC/HMC chains on it for
-        flow-preconditioned ("NeuTra") sampling of the target."""
+        flow-preconditioned ("NeuTra") sampling of the target.
+
+        ``gaussianize=True`` prepends an inverse-CDF map to every prior
+        channel that exposes ``cdf``/``icdf`` (e.g. the Uniform[0, 1] IC
+        channels of builder-made generators), so the chain runs in an
+        UNCONSTRAINED space where z ~ N(0, I) pushes forward to the prior
+        — box-constrained latents would otherwise break HMC (flat energy
+        outside the box).  Channels without cdf/icdf (e.g. the whitened
+        Gaussian FIXED channel) are passed through unchanged; the chain
+        stays exact either way (any diffeomorphism works — the map only
+        sets the geometry)."""
+        flow, flow_params = self.flow, params
+        if gaussianize:
+            from .core.flow import Chain
+            from .core.structural import Wrap
+            from .distributions.normal import DiagonalNormal
+            from .flows.cdf import DistributionTransferFlow
+
+            components = getattr(self.prior, "components", (self.prior,))
+            fronts = []
+            idx = 0
+            for comp in components:
+                shapes = comp.event_shapes
+                if (
+                    len(shapes) == 1
+                    and hasattr(comp, "cdf")
+                    and hasattr(comp, "icdf")
+                ):
+                    import math
+
+                    dim = math.prod(shapes[0]) if shapes[0] else 1
+                    fronts.append(Wrap(
+                        DistributionTransferFlow(DiagonalNormal(jnp.zeros(dim)), comp),
+                        indices=(idx,),
+                    ))
+                idx += len(shapes)
+            flow = Chain(fronts + [self.flow])
+            flow_params = tuple(f.init(None) for f in fronts) + (params,)
         return PushforwardEnergy(
-            self.flow, params, self.target, self.prior.event_shapes,
+            flow, flow_params, self.target, self.prior.event_shapes,
             temperature=temperature,
         )
 

@@ -10,6 +10,7 @@ Two properties:
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 import bgflow_tpu as bg
 from bgflow_tpu.samplers.iterative import SamplerState
@@ -98,3 +99,40 @@ def test_neutra_hmc_preconditions_ill_scaled_target(key):
     # x-space HMC at the same budget explores a tiny fraction of it
     assert spread_neutra > 0.5 * sig_soft, spread_neutra
     assert spread_x < 0.2 * sig_soft, spread_x
+
+
+@pytest.mark.slow
+def test_gaussianized_latent_energy_on_builder_generator(key):
+    """NeuTra on a builder-made molecular generator: the gaussianized
+    latent energy is finite on N(0,1) draws, HMC chains move, and pushed
+    states are valid configurations (finite target energy)."""
+    from bgflow_tpu.energies.ala2 import ALA2_REFERENCE_XYZ
+    from bgflow_tpu.models.ala2 import make_ala2_generator
+    from bgflow_tpu.samplers.iterative import SamplerState
+    from bgflow_tpu.samplers.mcmc import HMCStep
+
+    base = jnp.asarray(ALA2_REFERENCE_XYZ, dtype=jnp.float32).reshape(1, 66)
+    data = base + 0.005 * jax.random.normal(jax.random.fold_in(key, 0), (128, 66))
+    gen = make_ala2_generator(data, hidden=(16, 16), num_bins=4)
+    params = gen.init(jax.random.fold_in(key, 1))
+
+    u_z = gen.latent_energy(params, gaussianize=True)
+    zs = tuple(
+        0.5 * jax.random.normal(jax.random.fold_in(key, 2 + i), (8, *s))
+        for i, s in enumerate(gen.prior.event_shapes)
+    )
+    e0 = u_z.energy(*zs)
+    assert np.isfinite(np.asarray(e0)).all(), e0
+
+    hmc = HMCStep(u_z, step_size=2e-2, n_leapfrog=5)
+    state = SamplerState(samples=zs, energies=e0)
+    k = key
+    for _ in range(10):
+        k, sub = jax.random.split(k)
+        state = hmc._step(state, sub)
+    moved = any(
+        bool(jnp.any(jnp.abs(a - b) > 1e-9)) for a, b in zip(state.samples, zs)
+    )
+    assert moved, "no HMC move accepted in 10 steps"
+    x = u_z.push(*state.samples)
+    assert np.isfinite(np.asarray(gen.target.energy(x))).all()
