@@ -210,6 +210,16 @@ def main():
         extra["train_steps_per_sec"] = round(tps, 2)
         extra["train_steps_vs_cpu_baseline"] = round(tps / BASELINE_CPU_TRAIN_STEPS_PER_SEC, 2)
 
+    if not ON_TPU and os.path.exists("BENCH_EXTRA.json"):
+        # preserve the last real-TPU measurements alongside the fallback
+        # numbers instead of clobbering them
+        try:
+            with open("BENCH_EXTRA.json") as fh:
+                prev = json.load(fh)
+            if prev.get("backend") != "cpu":
+                extra["last_tpu_measurement"] = prev
+        except (OSError, ValueError):
+            pass
     with open("BENCH_EXTRA.json", "w") as fh:
         json.dump(extra, fh, indent=1)
     print(json.dumps(extra), file=sys.stderr)
