@@ -142,6 +142,7 @@ from .transformers.gaussian import (
     EntropyScalingLayer,
 )
 
+from .samplers.neutra import NeutraResult, neutra_sample
 from .samplers.umbrella import UmbrellaSampling, BiasedEnergy
 from .samplers.metadynamics import Metadynamics, MetadynamicsStep
 from .utils.free_energy import bennett_acceptance_ratio, mbar, one_sided_reweighting

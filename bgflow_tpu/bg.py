@@ -224,3 +224,10 @@ class PushforwardEnergy(Energy):
         """Map latent chain states to target-space samples."""
         x, _ = self.flow.forward(self.params, zs)
         return x if len(x) > 1 else x[0]
+
+    def pull(self, *xs):
+        """Map target-space configurations to latent chain states (the
+        inverse of :meth:`push`) — the standard way to initialize NeuTra
+        chains inside the typical set (e.g. from training-data frames)."""
+        z, _ = self.flow.forward(self.params, xs, inverse=True)
+        return z

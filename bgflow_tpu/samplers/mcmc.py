@@ -180,7 +180,14 @@ class HMCStep(SamplerStep):
         dtype = xs[0].dtype
         T = jnp.broadcast_to(self.target_temperatures, u0.shape).astype(dtype)
         ms = tuple(m.astype(dtype) for m in self._masses_for(xs))
-        dt_c = self.step_size * jnp.sqrt(T)  # (B,)
+        # the step size may ride in state.aux (a traced scan carry): one
+        # compiled program serves every trial size during step-size tuning
+        dt0 = (
+            state.aux["hmc_step_size"]
+            if state.aux is not None and "hmc_step_size" in state.aux
+            else self.step_size
+        )
+        dt_c = dt0 * jnp.sqrt(T)  # (B,)
         if self.jitter > 0.0:
             dt_c = dt_c * jax.random.uniform(
                 key_j, dt_c.shape, dtype=dtype,
@@ -266,34 +273,48 @@ def tune_hmc_step_size(
     ``log(step) += eta * (accept - target)`` per round (Robbins-Monro).
     Returns (step_size, final_acceptance_estimate).
 
-    Probes use T=1 chains; pass the COLD-replica start ``x0`` (B, D).
+    Probes use T=1 chains; pass the COLD-replica start ``x0`` — a (B, D)
+    array, or a tuple of per-tensor arrays for multi-tensor states (e.g.
+    the latent channels of a :class:`~bgflow_tpu.bg.PushforwardEnergy`).
     """
-    x = jnp.asarray(x0)
+    xs = tuple(jnp.asarray(x) for x in (x0 if isinstance(x0, (tuple, list)) else (x0,)))
+    dtype = xs[0].dtype
     step = float(step_size)
+    hmc = HMCStep(
+        target_energy, step_size=step, n_leapfrog=n_leapfrog,
+        masses=masses, n_steps=1,
+    )
+    # the trial step size rides in state.aux, so ONE compiled probe program
+    # serves all rounds (a fresh HMCStep per trial would retrace, and with
+    # a large flow-pushforward energy each retrace costs minutes)
+
+    @jax.jit
+    def probe(state, key):
+        new = hmc._step(state, key)
+        changed = jnp.zeros(new.samples[0].shape[0], dtype=bool)
+        # a chain moved if ANY of its tensors changed (HMC accepts or
+        # rejects the whole multi-tensor state at once)
+        for c, p in zip(new.samples, state.samples):
+            flat = jnp.abs(c - p).reshape(c.shape[0], -1)
+            changed = changed | jnp.any(flat > 1e-12, axis=-1)
+        return new, jnp.mean(changed.astype(jnp.float32))
+
+    state = SamplerState(
+        samples=xs,
+        energies=target_energy.energy(*xs),
+        step_count=jnp.zeros((), jnp.int32),
+        aux={"hmc_step_size": jnp.asarray(step, dtype)},
+    )
     accept = 0.0
     for r in range(n_rounds):
-        hmc = HMCStep(
-            target_energy, step_size=step, n_leapfrog=n_leapfrog,
-            masses=masses, n_steps=1,
-        )
-        state = SamplerState(
-            samples=(x,),
-            energies=target_energy.energy(x),
-            step_count=jnp.zeros((), jnp.int32),
-        )
         moved = 0.0
-        prev = state.samples[0]
         for i in range(n_probe):
             key, sub = jax.random.split(key)
-            state = hmc.step(state, sub)
-            cur = state.samples[0]
-            moved += float(
-                jnp.mean(jnp.any(jnp.abs(cur - prev) > 1e-12, axis=-1))
-            )
-            prev = cur
-        accept = moved / n_probe
-        x = state.samples[0]  # keep equilibrating as we tune
+            state, frac = probe(state, sub)
+            moved += float(frac)
+        accept = moved / n_probe  # keep equilibrating as we tune
         step = float(step * np.exp(eta * (accept - target_accept)))
+        state = state.replace(aux={"hmc_step_size": jnp.asarray(step, dtype)})
     return step, accept
 
 

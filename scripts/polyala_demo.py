@@ -8,9 +8,12 @@ Phases (each writes/extends artifacts/polyala{N}.json + checkpoints):
   train    — weighted-NLL training of the spline BG (the recipe the ala2
              science closeout validated: NLL-only, aligned data); optional
              umbrella augmentation + learnable marginal layers
+  neutra   — regenerate the ensemble with flow-preconditioned HMC through a
+             trained checkpoint (bgflow_tpu.neutra_sample); `train --neutra`
+             then trains on it (the data-quality bootstrap loop)
   eval     — sampling efficiency / log-weight statistics
 
-Run:  python scripts/polyala_demo.py <phase> [n_res] [--augment] [--marginals] [--residue_ar]
+Run:  python scripts/polyala_demo.py <phase> [n_res] [--augment] [--marginals] [--residue_ar] [--neutra]
 """
 import json
 import os
@@ -25,9 +28,9 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 ART = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "artifacts")
 
 
-def _tag(augment, marginals, residue_ar=False):
+def _tag(augment, marginals, residue_ar=False, neutra=False):
     return ("_aug" if augment else "") + ("_m" if marginals else "") + (
-        "_ar" if residue_ar else "")
+        "_ar" if residue_ar else "") + ("_nt" if neutra else "")
 
 
 def data_phase(n_res, n_samples=98304):
@@ -188,21 +191,44 @@ def _make_gen(n_res, data, marginals, residue_ar=False):
     )
 
 
+def _training_set(n_res, augment, neutra):
+    """The (data, log_weights) pair for a variant — deterministic, so eval
+    can rebuild the exact generator (whitening/marginal statistics are
+    data-derived) without re-saving large arrays."""
+    if neutra:
+        # NeuTra-regenerated exact ensemble (uniform weights); optionally
+        # still mixed with the umbrella augmentation frames
+        data = np.load(os.path.join(ART, f"polyala{n_res}_neutra.npz"))["data"]
+        log_w = None
+        if augment:
+            aug_x, aug_lw = _augmented_training_set(n_res)
+            lw0 = np.full(len(data), np.log(0.75 / len(data)), np.float32)
+            # keep only the umbrella part of the augmented set (first block
+            # is the old exact data, which the neutra frames supersede)
+            n_old = len(np.load(os.path.join(ART, f"polyala{n_res}_data.npz"))["data"])
+            aug_x, aug_lw = aug_x[n_old:], aug_lw[n_old:]
+            aug_lw = aug_lw - np.logaddexp.reduce(aug_lw) + np.log(0.25)
+            data = np.concatenate([data, aug_x]).astype(np.float32)
+            log_w = np.concatenate([lw0, aug_lw]).astype(np.float32)
+        return data, log_w
+    if augment:
+        return _augmented_training_set(n_res)
+    blob = np.load(os.path.join(ART, f"polyala{n_res}_data.npz"))
+    return blob["data"], (
+        blob["log_weights"] if "log_weights" in blob.files else None)
+
+
 def train_phase(n_res, n_iter=24000, batch=1024, augment=False, marginals=False,
-                residue_ar=False):
+                residue_ar=False, neutra=False):
     import bgflow_tpu as bg
     import optax
 
-    if augment:
-        data, log_w = _augmented_training_set(n_res)
+    data, log_w = _training_set(n_res, augment, neutra)
+    if augment and not neutra:
         np.savez_compressed(
             os.path.join(ART, f"polyala{n_res}_train_data.npz"),
             data=data, log_weights=log_w,
         )
-    else:
-        blob = np.load(os.path.join(ART, f"polyala{n_res}_data.npz"))
-        data = blob["data"]
-        log_w = blob["log_weights"] if "log_weights" in blob.files else None
     gen = _make_gen(n_res, data, marginals, residue_ar)
     params = gen.init(jax.random.PRNGKey(0))
     trainer = bg.KLTrainer(
@@ -214,23 +240,71 @@ def train_phase(n_res, n_iter=24000, batch=1024, augment=False, marginals=False,
     params, opt_state, reporter = trainer.train(
         params, jax.random.PRNGKey(1), n_iter, data=sampler,
         batchsize=batch, scan_chunk=1000, progress_interval=1,
-        checkpoint_dir=os.path.join(ART, f"polyala{n_res}_ckpt{_tag(augment, marginals, residue_ar)}"),
+        checkpoint_dir=os.path.join(
+            ART, f"polyala{n_res}_ckpt{_tag(augment, marginals, residue_ar, neutra)}"),
     )
     print("final loss:", reporter.losses()[0][-20:].mean(), flush=True)
 
 
+def neutra_phase(n_res, n_samples=98304, n_chains=512, augment=False,
+                 marginals=False, residue_ar=False, n_burnin=400,
+                 tune_rounds=12):
+    """Regenerate the training ensemble with flow-preconditioned HMC.
+
+    Loads the trained checkpoint of the given variant, runs NeuTra chains
+    (bgflow_tpu.neutra_sample) on the latent image of the force field, and
+    writes polyala{n}_neutra.npz — an exact-Boltzmann, better-mixed dataset
+    for the next training round (latent chains cross torsion barriers the
+    x-space ladder needs hot replicas for).  Train with --neutra to use it.
+    """
+    import bgflow_tpu as bg
+    from bgflow_tpu.energies.peptide import polyala_reference_xyz, polyala_z_matrix
+    from bgflow_tpu.ops.geometry import kabsch_align
+    from bgflow_tpu.utils.checkpoint import restore_checkpoint
+
+    data, _ = _training_set(n_res, augment, neutra=False)
+    gen = _make_gen(n_res, data, marginals, residue_ar)
+    ckpt = os.path.join(ART, f"polyala{n_res}_ckpt{_tag(augment, marginals, residue_ar)}")
+    params = restore_checkpoint(ckpt)["params"]
+
+    # chain starts: frames spread across the existing ensemble
+    x0 = jnp.asarray(data[:: max(1, len(data) // n_chains)][:n_chains])
+    t0 = time.time()
+    res = bg.neutra_sample(
+        gen, params, jax.random.PRNGKey(23), n_samples, n_chains=n_chains,
+        x0=x0, n_burnin=n_burnin, stride=2, n_leapfrog=10,
+        tune_rounds=tune_rounds,
+    )
+    frames = np.asarray(res.xs[0])
+    print(f"neutra: {frames.shape} in {time.time()-t0:.0f}s, "
+          f"step {res.step_size:.3g}, accept~{res.acceptance:.2f}, "
+          f"<u> {float(res.energies.mean()):.1f} kT", flush=True)
+
+    ref = jnp.asarray(polyala_reference_xyz(n_res), jnp.float32)
+    n_atoms = ref.shape[0]
+    _, fixed = polyala_z_matrix(n_res)
+    aligned = []
+    for i in range(0, frames.shape[0], 16384):
+        chunk = jnp.asarray(frames[i : i + 16384], jnp.float32).reshape(-1, n_atoms, 3)
+        aligned.append(np.asarray(kabsch_align(chunk, ref, atoms=fixed)))
+    frames = np.concatenate(aligned, axis=0).reshape(-1, 3 * n_atoms)
+    np.savez_compressed(
+        os.path.join(ART, f"polyala{n_res}_neutra.npz"),
+        data=frames,
+        energies=np.asarray(res.energies),
+        step_size=res.step_size,
+    )
+
+
 def eval_phase(n_res, n_eval=50000, augment=False, marginals=False,
-               residue_ar=False):
+               residue_ar=False, neutra=False):
     import bgflow_tpu as bg
     from bgflow_tpu.utils.checkpoint import restore_checkpoint
 
-    train_path = os.path.join(ART, f"polyala{n_res}_train_data.npz")
-    if augment and os.path.exists(train_path):
-        data = np.load(train_path)["data"]
-    else:
-        data = np.load(os.path.join(ART, f"polyala{n_res}_data.npz"))["data"]
+    data, _ = _training_set(n_res, augment, neutra)
     gen = _make_gen(n_res, data, marginals, residue_ar)
-    ckpt = os.path.join(ART, f"polyala{n_res}_ckpt{_tag(augment, marginals, residue_ar)}")
+    ckpt = os.path.join(
+        ART, f"polyala{n_res}_ckpt{_tag(augment, marginals, residue_ar, neutra)}")
     params = restore_checkpoint(ckpt)["params"]
     out = gen.sample(params, jax.random.PRNGKey(7), n_eval, with_log_weights=True)
     lw = out.log_weights
@@ -240,7 +314,7 @@ def eval_phase(n_res, n_eval=50000, augment=False, marginals=False,
         "n_res": n_res,
         "n_eval": n_eval,
         "config": {"augment": augment, "learnable_marginals": marginals,
-                   "residue_ar": residue_ar},
+                   "residue_ar": residue_ar, "neutra": neutra},
         "ess": ess,
         "sampling_efficiency_pct": 100.0 * ess / n_eval,
         "logw_std": float(jnp.std(jnp.where(finite, lw, jnp.nan), where=finite)),
@@ -279,7 +353,8 @@ def eval_phase(n_res, n_eval=50000, augment=False, marginals=False,
         # histogram intersection in [0, 1]
         overlap[name] = round(float(np.minimum(hm, hd).sum() * np.diff(edges)[0]), 4)
     res["dihedral_overlap_model_vs_data"] = overlap
-    path = os.path.join(ART, f"polyala{n_res}{_tag(augment, marginals, residue_ar)}.json")
+    path = os.path.join(
+        ART, f"polyala{n_res}{_tag(augment, marginals, residue_ar, neutra)}.json")
     with open(path, "w") as fh:
         json.dump(res, fh, indent=1)
     print(json.dumps(res, indent=1), flush=True)
@@ -293,11 +368,19 @@ if __name__ == "__main__":
     augment = "--augment" in flags
     marginals = "--marginals" in flags
     residue_ar = "--residue_ar" in flags
+    neutra = "--neutra" in flags
     if phase in ("data", "all"):
         data_phase(n_res)
     if phase in ("umbrella",) or (phase == "all" and augment):
         umbrella_phase(n_res)
+    if phase == "neutra":
+        # regenerate the ensemble through the trained (augment, marginals,
+        # residue_ar) checkpoint; later `train --neutra` consumes it
+        neutra_phase(n_res, augment=augment, marginals=marginals,
+                     residue_ar=residue_ar)
     if phase in ("train", "all"):
-        train_phase(n_res, augment=augment, marginals=marginals, residue_ar=residue_ar)
+        train_phase(n_res, augment=augment, marginals=marginals,
+                    residue_ar=residue_ar, neutra=neutra)
     if phase in ("eval", "all"):
-        eval_phase(n_res, augment=augment, marginals=marginals, residue_ar=residue_ar)
+        eval_phase(n_res, augment=augment, marginals=marginals,
+                   residue_ar=residue_ar, neutra=neutra)

@@ -101,6 +101,56 @@ def test_neutra_hmc_preconditions_ill_scaled_target(key):
     assert spread_x < 0.2 * sig_soft, spread_x
 
 
+def test_neutra_sample_exact_moments(key):
+    """High-level driver: neutra_sample through an imperfect affine flow
+    reproduces the target's moments, tunes its own step size, and returns
+    frames + target energies of the right shapes."""
+    d = 3
+    mu = jnp.asarray([1.0, -2.0, 0.5])
+    sigma = jnp.asarray([0.5, 2.0, 1.0])
+    target = bg.NormalDistribution(d, mean=mu, cov=jnp.diag(sigma**2))
+    prior = bg.NormalDistribution(d)
+    flow = bg.AffineFlow(d)
+    gen = bg.BoltzmannGenerator(prior, flow, target)
+    params = {"log_sigma": 0.5 * jnp.log(sigma), "mu": 0.5 * mu}
+
+    res = bg.neutra_sample(
+        gen, params, key, n_samples=4096, n_chains=256,
+        gaussianize=False, n_burnin=120, stride=2, n_leapfrog=10,
+    )
+    assert len(res.xs) == 1 and res.xs[0].shape == (4096, d)
+    assert res.energies.shape == (4096,)
+    assert 0.2 < res.acceptance <= 1.0
+    x = np.asarray(res.xs[0])
+    np.testing.assert_allclose(x.mean(axis=0), np.asarray(mu), atol=0.25)
+    np.testing.assert_allclose(x.std(axis=0), np.asarray(sigma), atol=0.35)
+    # frames are Boltzmann draws: their mean target energy matches the
+    # analytic expectation <u> = -log Z + d/2 ... use direct draws instead
+    direct = target.sample(jax.random.fold_in(key, 5), 4096)
+    np.testing.assert_allclose(
+        float(res.energies.mean()),
+        float(target.energy(direct).mean()),
+        atol=0.3,
+    )
+
+
+def test_tune_hmc_step_size_multi_tensor(key):
+    """Step-size tuning accepts tuple states (product-space targets)."""
+    from bgflow_tpu.samplers.mcmc import tune_hmc_step_size
+
+    target = bg.ProductEnergy(
+        [bg.NormalDistribution(2), bg.NormalDistribution(3)]
+    )
+    x0 = (
+        jax.random.normal(jax.random.fold_in(key, 0), (64, 2)),
+        jax.random.normal(jax.random.fold_in(key, 1), (64, 3)),
+    )
+    step, accept = tune_hmc_step_size(
+        target, x0, jax.random.fold_in(key, 2), step_size=0.3, n_rounds=6
+    )
+    assert step > 0 and 0.3 < accept <= 1.0
+
+
 @pytest.mark.slow
 def test_gaussianized_latent_energy_on_builder_generator(key):
     """NeuTra on a builder-made molecular generator: the gaussianized
