@@ -313,7 +313,12 @@ def tune_hmc_step_size(
             state, frac = probe(state, sub)
             moved += float(frac)
         accept = moved / n_probe  # keep equilibrating as we tune
-        step = float(step * np.exp(eta * (accept - target_accept)))
+        if accept == 0.0:
+            # far above the stability limit (e.g. a poorly conditioned
+            # pushforward energy): geometric decay beats Robbins-Monro
+            step = float(step * 0.4)
+        else:
+            step = float(step * np.exp(eta * (accept - target_accept)))
         state = state.replace(aux={"hmc_step_size": jnp.asarray(step, dtype)})
     return step, accept
 
