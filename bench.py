@@ -19,46 +19,17 @@ and stderr.
 """
 import json
 import os
-import subprocess
 import sys
 import time
 
+from bgflow_tpu.utils.backend import ensure_reachable_backend
 
-def _tpu_reachable(timeout=300):
-    """Probe TPU backend init in a throwaway subprocess with a hard timeout.
-
-    The axon tunnel's backend initialization blocks *forever* when the pool
-    is unreachable (no deadline in the plugin), so the probe must run out of
-    process — an in-process ``jax.devices()`` call can never be cancelled.
-    """
-    forced = os.environ.get("JAX_PLATFORMS", "")
-    if forced and "tpu" not in forced and "axon" not in forced:
-        return False  # caller already pinned a non-TPU platform
-    try:
-        r = subprocess.run(
-            [sys.executable, "-c",
-             "import jax; assert any(d.platform != 'cpu' for d in jax.devices())"],
-            timeout=timeout, capture_output=True,
-        )
-        return r.returncode == 0
-    except (subprocess.TimeoutExpired, OSError):
-        return False
-
-
-ON_TPU = _tpu_reachable()
+# Accelerator unreachable -> measure honestly on CPU at reduced batch
+# rather than hang (the axon plugin's backend init has no deadline).
+ON_TPU = ensure_reachable_backend()
 
 import numpy as np
 import jax
-
-if not ON_TPU:
-    # Accelerator unreachable: measure honestly on CPU at reduced batch
-    # rather than hang. The env-var route (JAX_PLATFORMS=cpu) is re-pinned
-    # by the ambient sitecustomize, so pin via jax.config, which wins as
-    # long as no backend has been initialized yet (same trick as
-    # tests/conftest.py).
-    jax.config.update("jax_platforms", "cpu")
-    print("bench: TPU unreachable, falling back to CPU", file=sys.stderr)
-
 import jax.numpy as jnp
 
 import bgflow_tpu as bg

@@ -24,10 +24,13 @@ import sys
 import time
 
 import numpy as np
-import jax
-import jax.numpy as jnp
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+from bgflow_tpu.utils.backend import ensure_reachable_backend
+
+ensure_reachable_backend()
+import jax
+import jax.numpy as jnp
 ART = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "artifacts")
 
 DATA_PATH = os.path.join(ART, "ala2_exact_data.npz")

@@ -18,10 +18,13 @@ import os
 import sys
 
 import numpy as np
-import jax
-import jax.numpy as jnp
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+from bgflow_tpu.utils.backend import ensure_reachable_backend
+
+ensure_reachable_backend()
+import jax
+import jax.numpy as jnp
 ART = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "artifacts")
 
 TEMPERATURES = (0.8, 0.9, 1.0, 1.1, 1.25)

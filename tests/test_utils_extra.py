@@ -89,3 +89,19 @@ def test_dcd_roundtrip(tmp_path):
         fh.read(4)
         assert fh.read(4) == b"CORD"
         assert struct.unpack("<i", fh.read(4))[0] == 5
+
+
+def test_backend_helpers(monkeypatch):
+    """tpu_reachable honors an explicit non-TPU pin without probing, and
+    ensure_reachable_backend reports the already-initialized CPU backend
+    (the test process pinned CPU in conftest) without re-probing."""
+    from bgflow_tpu.utils import backend
+
+    monkeypatch.setenv("JAX_PLATFORMS", "cpu")
+    assert backend.tpu_reachable() is False
+    # jax is initialized on CPU in the test process: must return False fast
+    import time
+
+    t0 = time.time()
+    assert backend.ensure_reachable_backend(verbose=False) is False
+    assert time.time() - t0 < 5.0
