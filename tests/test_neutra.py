@@ -186,3 +186,25 @@ def test_gaussianized_latent_energy_on_builder_generator(key):
     assert moved, "no HMC move accepted in 10 steps"
     x = u_z.push(*state.samples)
     assert np.isfinite(np.asarray(gen.target.energy(x))).all()
+
+
+@pytest.mark.slow
+def test_neutra_sample_on_builder_generator(key):
+    """The one-call driver works end-to-end on a molecular generator:
+    gaussianized latents, tuned step, pushed frames with finite target
+    energies, correct pooled shape."""
+    from bgflow_tpu.energies.ala2 import ALA2_REFERENCE_XYZ
+    from bgflow_tpu.models.ala2 import make_ala2_generator
+
+    base = jnp.asarray(ALA2_REFERENCE_XYZ, dtype=jnp.float32).reshape(1, 66)
+    data = base + 0.005 * jax.random.normal(jax.random.fold_in(key, 0), (128, 66))
+    gen = make_ala2_generator(data, hidden=(16, 16), num_bins=4)
+    params = gen.init(jax.random.fold_in(key, 1))
+
+    res = bg.neutra_sample(
+        gen, params, jax.random.fold_in(key, 2), n_samples=48, n_chains=16,
+        x0=data[:16], n_burnin=4, stride=2, n_leapfrog=3, tune_rounds=3,
+    )
+    assert res.xs[0].shape == (48, 66)
+    assert np.isfinite(np.asarray(res.energies)).all()
+    assert res.step_size > 0
