@@ -35,12 +35,14 @@ VARIANTS = {
     # umbrella-augmented training set (the fix that rescued the ala2
     # flagship): per-dihedral umbrella frames with near-uniform coverage
     # mixed into the exact ensemble (scripts/polyala_demo.py logic).
-    # Ordered first after baseline: most informative rung per CPU-hour.
+    # MEASURED 2026-08-18: 0.069% eff vs baseline 0.202% — augmentation
+    # HURTS at ALA3 scale (coverage mass dilutes the Boltzmann bulk).
     "augment": dict(_augment=True),
-    "augment+marginals": dict(_augment=True, learnable_marginals=True),
-    "marginals": dict(learnable_marginals=True),
     "residue_ar": dict(torsion_scheme="residue_ar"),
-    "marginals+residue_ar": dict(learnable_marginals=True, torsion_scheme="residue_ar"),
+    # per-dof density mismatch is the diagnosed wall: does capacity move it?
+    "capacity": dict(hidden=(512, 512), num_bins=32, torsion_cross_couplings=8),
+    "marginals": dict(learnable_marginals=True),
+    "augment+marginals": dict(_augment=True, learnable_marginals=True),
 }
 
 
@@ -55,10 +57,12 @@ def _load_demo_module():
 
 
 def run_variant(name, kw, data, log_w, n_iter, batch, n_eval=20000):
-    gen = make_polyala_generator(
-        3, data, use_pallas_spline=False, marginals_from="data",
-        torsion_cross_couplings=4, hidden=(256, 256), num_bins=16, **kw,
+    gen_kw = dict(
+        use_pallas_spline=False, marginals_from="data",
+        torsion_cross_couplings=4, hidden=(256, 256), num_bins=16,
     )
+    gen_kw.update(kw)
+    gen = make_polyala_generator(3, data, **gen_kw)
     params = gen.init(jax.random.PRNGKey(0))
     n_params = sum(int(np.prod(p.shape)) for p in jax.tree.leaves(params))
     trainer = bg.KLTrainer(
