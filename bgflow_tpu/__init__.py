@@ -136,6 +136,7 @@ from .flows.cnf import (
     BruteForceEstimator,
     HutchinsonEstimator,
 )
+from .flows.perturbation import FlowPerturbationSample, flow_perturbation_sample
 from .transformers.gaussian import (
     TruncatedGaussianTransformer,
     ScalingLayer,

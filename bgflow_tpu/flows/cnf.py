@@ -117,6 +117,9 @@ class BlackBoxDynamics:
         f = lambda tt, xx: self.dynamics.velocity(params, tt, xx)
         return self.estimator(f, t, x, key=key)
 
+    def velocity(self, params, t, x):
+        return self.dynamics.velocity(params, t, x)
+
 
 class KernelDynamics:
     """E(n)-equivariant RBF-kernel dynamics with closed-form divergence.
@@ -296,6 +299,55 @@ class DiffEqFlow(Flow):
         )
         (x, dlogp), _ = jax.lax.scan(one_step, (x, logp0), (steps, keys))
         return x, dlogp
+
+    def integrate_no_logdet(
+        self, params, x, inverse: bool = False, key=None, t_span=None
+    ):
+        """Transport ``x`` WITHOUT accumulating the divergence integral.
+
+        The fast path for flow-perturbation reweighting
+        (``flows/perturbation.py``, arXiv:2407.10666): importance weights
+        there need no Jacobians, so the per-step divergence work (an O(D)
+        backward sweep for the brute-force estimator) is skipped entirely.
+
+        ``t_span=(a, b)`` transports through the sub-flow of ``t in
+        [a, b]`` only (``inverse=True`` maps time-b states back to time
+        a) — the segments of the multi-step perturbation scheme
+        (arXiv:2601.21177).  Fixed-grid integrators use a proportional
+        share of ``n_time_steps`` (at least 1).
+        """
+        a, b = (0.0, self.t_max) if t_span is None else t_span
+        span = b - a
+        vel = getattr(self.dynamics, "velocity", None)
+
+        def field(s, x_):
+            tt = (b - s) if inverse else (a + s)
+            if vel is not None:
+                dx = vel(params, tt, x_)
+            else:
+                dx, _ = self.dynamics(params, tt, x_, key=key)
+            sign = -1.0 if inverse else 1.0
+            return (sign * dx).astype(x_.dtype)
+
+        if self.integrator == "dopri5":
+            from jax.experimental.ode import odeint
+
+            ts = jnp.asarray([0.0, span], dtype=x.dtype)
+            out = odeint(
+                lambda s, t: field(t, s), x, ts,
+                rtol=self.rtol, atol=self.atol, mxstep=self.mxstep,
+            )
+            return out[-1]
+
+        n_steps = max(1, round(self.n_time_steps * span / self.t_max))
+        dt = span / n_steps
+
+        def one_step(s, i):
+            return self.stepper(field, i * dt, dt, s), None
+
+        steps = jnp.arange(n_steps, dtype=x.dtype)
+        y, _ = jax.lax.scan(one_step, x, steps)
+        return y
 
     def _forward(self, params, xs, key=None, **kwargs):
         (x,) = xs
