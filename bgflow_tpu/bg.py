@@ -227,7 +227,8 @@ class PushforwardEnergy(Energy):
 
     def pull(self, *xs):
         """Map target-space configurations to latent chain states (the
-        inverse of :meth:`push`) — the standard way to initialize NeuTra
-        chains inside the typical set (e.g. from training-data frames)."""
+        inverse of :meth:`push`, with the same single-tensor unwrapping) —
+        the standard way to initialize NeuTra chains inside the typical
+        set (e.g. from training-data frames)."""
         z, _ = self.flow.forward(self.params, xs, inverse=True)
-        return z
+        return z if len(z) > 1 else z[0]

@@ -319,6 +319,18 @@ class DiffEqFlow(Flow):
         a, b = (0.0, self.t_max) if t_span is None else t_span
         span = b - a
         vel = getattr(self.dynamics, "velocity", None)
+        if vel is None:
+            import warnings
+
+            # every in-repo dynamics exposes velocity(); a bare __call__
+            # fallback still evaluates (and discards) the divergence, so
+            # the Jacobian-scale cost this method exists to skip is paid
+            warnings.warn(
+                f"{type(self.dynamics).__name__} has no velocity() method; "
+                "integrate_no_logdet falls back to the full dynamics call "
+                "and discards the divergence — implement velocity() to "
+                "actually skip the divergence work"
+            )
 
         def field(s, x_):
             tt = (b - s) if inverse else (a + s)

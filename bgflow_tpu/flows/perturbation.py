@@ -91,6 +91,12 @@ def flow_perturbation_sample(
     sigma_back = sigma if sigma_back is None else float(sigma_back)
 
     if n_steps > 1:
+        if forward_fn is not None or inverse_fn is not None:
+            raise ValueError(
+                "n_steps > 1 integrates per-segment via "
+                "flow.integrate_no_logdet; custom forward_fn/inverse_fn "
+                "only apply to the single-step scheme"
+            )
         if not hasattr(flow, "integrate_no_logdet"):
             raise ValueError(
                 "multi-step flow perturbation needs a DiffEqFlow-like flow "

@@ -89,6 +89,7 @@ def neutra_sample(
                 f"x0 leading axis {xs0[0].shape[0]} != n_chains {n_chains}"
             )
     zs0 = pe.pull(*xs0)
+    zs0 = zs0 if isinstance(zs0, tuple) else (zs0,)
 
     accept = float("nan")
     if step_size is None:

@@ -57,6 +57,11 @@ def ensure_reachable_backend(timeout: float = 300.0, verbose: bool = True) -> bo
         pass
     if str(jax.config.jax_platforms or "").startswith("cpu"):
         return False  # caller already pinned CPU via jax.config
+    forced = os.environ.get("JAX_PLATFORMS", "")
+    if forced and "tpu" not in forced and "axon" not in forced:
+        # an explicit non-TPU pin (cpu, cuda, ...): honor it untouched —
+        # only the TPU-tunnel platforms have the no-deadline init hazard
+        return not forced.startswith("cpu")
     if tpu_reachable(timeout=timeout):
         return True
     jax.config.update("jax_platforms", "cpu")

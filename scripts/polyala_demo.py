@@ -145,23 +145,33 @@ def umbrella_phase(n_res, n_windows=16, n_iterations=500, k_umbrella=40.0, seed=
           f"weight-ESS {1.0/np.sum(w**2):.0f}", flush=True)
 
 
-def _augmented_training_set(n_res, umbrella_mass=0.25, n_bins=16):
+def _augmented_training_set(n_res, umbrella_mass=0.25, n_bins=16,
+                            include_exact=True):
     """Exact ensemble + umbrella frames with near-uniform per-dihedral
     coverage: each sweep gets umbrella_mass/S total mass, split equally over
     occupied cv bins, within-bin proportional to the joint-MBAR weights
     (locally Boltzmann, marginally flat — the coverage the learnable
-    marginal layer needs to see)."""
-    blob = np.load(os.path.join(ART, f"polyala{n_res}_data.npz"))
-    data, lw_data = blob["data"], blob["log_weights"].astype(np.float64)
+    marginal layer needs to see).
+
+    ``include_exact=False`` returns only the umbrella block (total mass
+    ``umbrella_mass``) — for callers that mix the umbrella frames with a
+    DIFFERENT base ensemble (e.g. the NeuTra bootstrap).  Slicing the
+    combined return instead would be wrong: non-finite-weight rows are
+    filtered, so block boundaries shift."""
     ub = np.load(os.path.join(ART, f"polyala{n_res}_umbrella.npz"))
     frames, cvs, logw, sweep_id = (
         ub["frames"], ub["cv"].astype(np.float64),
         ub["log_weights"].astype(np.float64), ub["sweep_id"],
     )
     S = int(sweep_id.max()) + 1
-    lw_data = lw_data - np.logaddexp.reduce(lw_data) + np.log(1.0 - umbrella_mass)
     edges = np.linspace(-np.pi, np.pi, n_bins + 1)
-    parts_x, parts_lw = [data], [lw_data]
+    parts_x, parts_lw = [], []
+    if include_exact:
+        blob = np.load(os.path.join(ART, f"polyala{n_res}_data.npz"))
+        data, lw_data = blob["data"], blob["log_weights"].astype(np.float64)
+        lw_data = lw_data - np.logaddexp.reduce(lw_data) + np.log(1.0 - umbrella_mass)
+        parts_x.append(data)
+        parts_lw.append(lw_data)
     for s in range(S):
         sel = sweep_id == s
         f_s, c_s, w_s = frames[sel], cvs[sel, s], logw[sel]
@@ -195,22 +205,29 @@ def _make_gen(n_res, data, marginals, residue_ar=False):
     )
 
 
-def _training_set(n_res, augment, neutra):
+def _neutra_data_path(n_res, augment, marginals, residue_ar):
+    """NeuTra ensembles are tagged by the SOURCE checkpoint variant — each
+    variant's bootstrap regenerates through a different flow, so the files
+    must not overwrite each other."""
+    return os.path.join(
+        ART, f"polyala{n_res}_neutra{_tag(augment, marginals, residue_ar)}.npz")
+
+
+def _training_set(n_res, augment, neutra, marginals=False, residue_ar=False):
     """The (data, log_weights) pair for a variant — deterministic, so eval
     can rebuild the exact generator (whitening/marginal statistics are
     data-derived) without re-saving large arrays."""
     if neutra:
         # NeuTra-regenerated exact ensemble (uniform weights); optionally
         # still mixed with the umbrella augmentation frames
-        data = np.load(os.path.join(ART, f"polyala{n_res}_neutra.npz"))["data"]
+        path = _neutra_data_path(n_res, augment, marginals, residue_ar)
+        data = np.load(path)["data"]
         log_w = None
         if augment:
-            aug_x, aug_lw = _augmented_training_set(n_res)
+            # umbrella block only (the neutra frames supersede the old
+            # exact ensemble): 75% neutra mass, 25% umbrella mass
+            aug_x, aug_lw = _augmented_training_set(n_res, include_exact=False)
             lw0 = np.full(len(data), np.log(0.75 / len(data)), np.float32)
-            # keep only the umbrella part of the augmented set (first block
-            # is the old exact data, which the neutra frames supersede)
-            n_old = len(np.load(os.path.join(ART, f"polyala{n_res}_data.npz"))["data"])
-            aug_x, aug_lw = aug_x[n_old:], aug_lw[n_old:]
             aug_lw = aug_lw - np.logaddexp.reduce(aug_lw) + np.log(0.25)
             data = np.concatenate([data, aug_x]).astype(np.float32)
             log_w = np.concatenate([lw0, aug_lw]).astype(np.float32)
@@ -227,7 +244,7 @@ def train_phase(n_res, n_iter=24000, batch=1024, augment=False, marginals=False,
     import bgflow_tpu as bg
     import optax
 
-    data, log_w = _training_set(n_res, augment, neutra)
+    data, log_w = _training_set(n_res, augment, neutra, marginals, residue_ar)
     if augment and not neutra:
         np.savez_compressed(
             os.path.join(ART, f"polyala{n_res}_train_data.npz"),
@@ -266,7 +283,8 @@ def neutra_phase(n_res, n_samples=98304, n_chains=512, augment=False,
     from bgflow_tpu.ops.geometry import kabsch_align
     from bgflow_tpu.utils.checkpoint import restore_checkpoint
 
-    data, _ = _training_set(n_res, augment, neutra=False)
+    data, _ = _training_set(n_res, augment, neutra=False,
+                            marginals=marginals, residue_ar=residue_ar)
     gen = _make_gen(n_res, data, marginals, residue_ar)
     ckpt = os.path.join(ART, f"polyala{n_res}_ckpt{_tag(augment, marginals, residue_ar)}")
     params = restore_checkpoint(ckpt)["params"]
@@ -293,7 +311,7 @@ def neutra_phase(n_res, n_samples=98304, n_chains=512, augment=False,
         aligned.append(np.asarray(kabsch_align(chunk, ref, atoms=fixed)))
     frames = np.concatenate(aligned, axis=0).reshape(-1, 3 * n_atoms)
     np.savez_compressed(
-        os.path.join(ART, f"polyala{n_res}_neutra.npz"),
+        _neutra_data_path(n_res, augment, marginals, residue_ar),
         data=frames,
         energies=np.asarray(res.energies),
         step_size=res.step_size,
@@ -305,7 +323,7 @@ def eval_phase(n_res, n_eval=50000, augment=False, marginals=False,
     import bgflow_tpu as bg
     from bgflow_tpu.utils.checkpoint import restore_checkpoint
 
-    data, _ = _training_set(n_res, augment, neutra)
+    data, _ = _training_set(n_res, augment, neutra, marginals, residue_ar)
     gen = _make_gen(n_res, data, marginals, residue_ar)
     ckpt = os.path.join(
         ART, f"polyala{n_res}_ckpt{_tag(augment, marginals, residue_ar, neutra)}")
