@@ -183,24 +183,39 @@ def main():
 
     if not ON_TPU and os.path.exists("BENCH_EXTRA.json"):
         # preserve the last real-TPU measurements alongside the fallback
-        # numbers instead of clobbering them
+        # numbers instead of clobbering them — including across REPEATED
+        # fallback runs (carry a prior fallback file's preserved block)
         try:
             with open("BENCH_EXTRA.json") as fh:
                 prev = json.load(fh)
             if prev.get("backend") != "cpu":
                 extra["last_tpu_measurement"] = prev
+            elif "last_tpu_measurement" in prev:
+                extra["last_tpu_measurement"] = prev["last_tpu_measurement"]
         except (OSError, ValueError):
             pass
     with open("BENCH_EXTRA.json", "w") as fh:
         json.dump(extra, fh, indent=1)
     print(json.dumps(extra), file=sys.stderr)
 
-    print(json.dumps({
+    line = {
         "metric": "ala2_spline_bg_samples_per_sec",
         "value": round(spline_sps, 1),
         "unit": "samples/s",
         "vs_baseline": round(spline_sps / BASELINE_CPU_ALA2_SAMPLES_PER_SEC, 2),
-    }))
+        "backend": jax.default_backend(),
+    }
+    if not ON_TPU:
+        # honest fallback measurement, flagged as such; the last real-TPU
+        # numbers live in BENCH_EXTRA.json["last_tpu_measurement"]
+        line["note"] = "TPU pool unreachable; CPU fallback at reduced batch"
+        prev = extra.get("last_tpu_measurement", {})
+        if "spline_samples_per_sec" in prev:
+            line["last_tpu_value"] = prev["spline_samples_per_sec"]
+            line["last_tpu_vs_baseline"] = round(
+                prev["spline_samples_per_sec"] / BASELINE_CPU_ALA2_SAMPLES_PER_SEC, 2
+            )
+    print(json.dumps(line))
 
 
 if __name__ == "__main__":
