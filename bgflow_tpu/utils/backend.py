@@ -59,8 +59,11 @@ def ensure_reachable_backend(timeout: float = 300.0, verbose: bool = True) -> bo
         return False  # caller already pinned CPU via jax.config
     forced = os.environ.get("JAX_PLATFORMS", "")
     if forced and "tpu" not in forced and "axon" not in forced:
-        # an explicit non-TPU pin (cpu, cuda, ...): honor it untouched —
-        # only the TPU-tunnel platforms have the no-deadline init hazard
+        # an explicit non-TPU pin (cpu, cuda, ...): enforce it via
+        # jax.config — an ambient sitecustomize may have registered an
+        # accelerator plugin that wins over the env var, so the env route
+        # alone is unreliable (same hazard the docstring describes)
+        jax.config.update("jax_platforms", forced)
         return not forced.startswith("cpu")
     if tpu_reachable(timeout=timeout):
         return True
