@@ -391,6 +391,15 @@ if __name__ == "__main__":
     marginals = "--marginals" in flags
     residue_ar = "--residue_ar" in flags
     neutra = "--neutra" in flags
+    # scale overrides (--iters=N, --batch=N): the CPU ladder showed the
+    # 24k-iter full schedule can over-sharpen on weighted data — shorter
+    # schedules are a legitimate rung, not just a budget cut
+    kv = dict(f.lstrip("-").split("=", 1) for f in flags if "=" in f)
+    train_kw = {}
+    if "iters" in kv:
+        train_kw["n_iter"] = int(kv["iters"])
+    if "batch" in kv:
+        train_kw["batch"] = int(kv["batch"])
     if phase in ("data", "all"):
         data_phase(n_res)
     if phase in ("umbrella",) or (phase == "all" and augment):
@@ -402,7 +411,7 @@ if __name__ == "__main__":
                      residue_ar=residue_ar)
     if phase in ("train", "all"):
         train_phase(n_res, augment=augment, marginals=marginals,
-                    residue_ar=residue_ar, neutra=neutra)
+                    residue_ar=residue_ar, neutra=neutra, **train_kw)
     if phase in ("eval", "all"):
         eval_phase(n_res, augment=augment, marginals=marginals,
                    residue_ar=residue_ar, neutra=neutra)
