@@ -190,14 +190,16 @@ def _augmented_training_set(n_res, umbrella_mass=0.25, n_bins=16,
     return X[keep], LW[keep]
 
 
-def _make_gen(n_res, data, marginals, residue_ar=False):
+def _make_gen(n_res, data, marginals, residue_ar=False, use_pallas=None):
     from bgflow_tpu.models.polyala import make_polyala_generator
 
-    return make_polyala_generator(
-        n_res, data,
+    if use_pallas is None:
         # fused Pallas kernels on TPU; on CPU the interpret-mode emulation
         # is far slower than the plain XLA path (numerics identical)
-        use_pallas_spline=jax.default_backend() == "tpu",
+        use_pallas = jax.default_backend() == "tpu"
+    return make_polyala_generator(
+        n_res, data,
+        use_pallas_spline=use_pallas,
         marginals_from="data",
         torsion_cross_couplings=4, hidden=(256, 256), num_bins=16,
         learnable_marginals=marginals,
@@ -285,7 +287,10 @@ def neutra_phase(n_res, n_samples=98304, n_chains=512, augment=False,
 
     data, _ = _training_set(n_res, augment, neutra=False,
                             marginals=marginals, residue_ar=residue_ar)
-    gen = _make_gen(n_res, data, marginals, residue_ar)
+    # NeuTra HMC differentiates through the full flow; the Pallas IC
+    # reconstruction kernel has no reverse-mode rule, so use the (numerically
+    # identical) XLA path here
+    gen = _make_gen(n_res, data, marginals, residue_ar, use_pallas=False)
     ckpt = os.path.join(ART, f"polyala{n_res}_ckpt{_tag(augment, marginals, residue_ar)}")
     params = restore_checkpoint(ckpt)["params"]
 
