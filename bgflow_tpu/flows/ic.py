@@ -21,6 +21,7 @@ TPU-first design
 """
 from __future__ import annotations
 
+import functools
 import math
 from typing import Optional, Sequence, Union
 
@@ -210,6 +211,45 @@ class RelativeInternalCoordinateTransformation(Flow):
             torsions, dlogp_t = unnormalize_torsions(torsions)
             dlogp = dlogp + dlogp_a + dlogp_t
 
+        # closed-form |det dx/d(b,a,t)| = b^2 sin(a), summed over all rows
+        dlogp = dlogp + jnp.sum(icops.placement_logdet(bonds, angles, self.eps), axis=-1)
+
+        if self.use_pallas:
+            # Pallas forward; gradients route through the numerically
+            # identical XLA reconstruction (the kernel has no reverse-mode
+            # rule), so grad-through-sampling (NeuTra HMC, force matching)
+            # works on the fast path too
+            flat = _pallas_reconstruct(self, bonds, angles, torsions, x_fixed)
+        else:
+            flat = self._reconstruct_xla(bonds, angles, torsions, x_fixed)
+        return (flat,), dlogp
+
+    def _reconstruct_pallas(self, bonds, angles, torsions, x_fixed):
+        from ..ops.ic_pallas import ic_reconstruct_pallas, ic_reconstruct_pallas_wide
+
+        n_batch = x_fixed.shape[0]
+        x_init = x_fixed.reshape(n_batch, -1, 3)
+        n_total = x_init.shape[1] + bonds.shape[-1]
+        if n_batch % 8 == 0:
+            # wide layout: batch on (8 sublanes x lanes) — every
+            # placement op runs at full VPU width
+            pts = ic_reconstruct_pallas_wide(
+                bonds, angles, torsions, x_init.reshape(n_batch, -1),
+                self._pallas_plan, n_total, eps=self.eps,
+            )  # (n_total*3, 8, B/8) recon order
+            pts = pts.reshape(n_total, 3, 8, n_batch // 8)
+            pts = jnp.transpose(pts[self._atom2index], (2, 3, 0, 1))
+            return pts.reshape(n_batch, -1)
+        fixed_t = x_init.reshape(n_batch, -1).T  # (n_fixed*3, B)
+        pts = ic_reconstruct_pallas(
+            bonds.T, angles.T, torsions.T, fixed_t,
+            self._pallas_plan, n_total, eps=self.eps,
+        )  # (n_total*3, B) recon order
+        pts = pts.reshape(n_total, 3, n_batch)
+        pts = jnp.transpose(pts[self._atom2index], (2, 0, 1))
+        return pts.reshape(n_batch, -1)
+
+    def _reconstruct_xla(self, bonds, angles, torsions, x_fixed):
         n_batch = x_fixed.shape[0]
         x_init = x_fixed.reshape(n_batch, -1, 3)
         n_fixed = x_init.shape[1]
@@ -222,31 +262,6 @@ class RelativeInternalCoordinateTransformation(Flow):
         bonds_t = bonds.T  # (D, B)
         angles_t = angles.T
         torsions_t = torsions.T
-
-        # closed-form |det dx/d(b,a,t)| = b^2 sin(a), summed over all rows
-        dlogp = dlogp + jnp.sum(icops.placement_logdet(bonds, angles, self.eps), axis=-1)
-
-        if self.use_pallas:
-            from ..ops.ic_pallas import ic_reconstruct_pallas, ic_reconstruct_pallas_wide
-
-            if n_batch % 8 == 0:
-                # wide layout: batch on (8 sublanes x lanes) — every
-                # placement op runs at full VPU width
-                pts = ic_reconstruct_pallas_wide(
-                    bonds, angles, torsions, x_init.reshape(n_batch, -1),
-                    self._pallas_plan, n_total, eps=self.eps,
-                )  # (n_total*3, 8, B/8) recon order
-                pts = pts.reshape(n_total, 3, 8, n_batch // 8)
-                pts = jnp.transpose(pts[self._atom2index], (2, 3, 0, 1))
-                return (pts.reshape(n_batch, -1),), dlogp
-            fixed_t = x_init.reshape(n_batch, -1).T  # (n_fixed*3, B)
-            pts = ic_reconstruct_pallas(
-                bonds_t, angles_t, torsions_t, fixed_t,
-                self._pallas_plan, n_total, eps=self.eps,
-            )  # (n_total*3, B) recon order
-            pts = pts.reshape(n_total, 3, n_batch)
-            pts = jnp.transpose(pts[self._atom2index], (2, 0, 1))
-            return (pts.reshape(n_batch, -1),), dlogp
 
         points = jnp.zeros((n_total, n_batch, 3), dtype=x_fixed.dtype)
         points = jax.lax.dynamic_update_slice_in_dim(
@@ -268,7 +283,32 @@ class RelativeInternalCoordinateTransformation(Flow):
 
         # back to batch-major, reordered from reconstruction to atom order
         points = jnp.transpose(points[self._atom2index], (1, 0, 2))
-        return (points.reshape(n_batch, -1),), dlogp
+        return points.reshape(n_batch, -1)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _pallas_reconstruct(flow, bonds, angles, torsions, x_fixed):
+    """Pallas IC reconstruction with an XLA-autodiff backward rule.
+
+    The fused kernels (ops/ic_pallas.py) have no reverse-mode rule; the
+    dense XLA reconstruction is numerically identical, so its VJP is the
+    exact gradient.  Backward pays one extra dense forward — only
+    gradient-through-sampling paths (NeuTra HMC, force matching) ever do.
+    """
+    return flow._reconstruct_pallas(bonds, angles, torsions, x_fixed)
+
+
+def _pallas_reconstruct_fwd(flow, bonds, angles, torsions, x_fixed):
+    out = flow._reconstruct_pallas(bonds, angles, torsions, x_fixed)
+    return out, (bonds, angles, torsions, x_fixed)
+
+
+def _pallas_reconstruct_bwd(flow, res, g):
+    _, vjp = jax.vjp(flow._reconstruct_xla, *res)
+    return vjp(g)
+
+
+_pallas_reconstruct.defvjp(_pallas_reconstruct_fwd, _pallas_reconstruct_bwd)
 
 
 class ReferenceSystemTransformation(Flow):

@@ -38,6 +38,28 @@ def test_pallas_mixed_transform(key):
     assert_close(ld_pal, ld_ref, 1e-4)
 
 
+def test_pallas_reconstruction_gradient_matches_xla(key):
+    """Reverse-mode through the Pallas inverse == through the XLA inverse
+    (the kernel has no VJP rule; flows/ic.py routes backward through the
+    numerically identical dense reconstruction). This is the path NeuTra
+    HMC differentiates when sampling through a TPU flow."""
+    flow_ref = bg.RelativeInternalCoordinateTransformation(ALA2_Z_MATRIX, ALA2_FIXED)
+    flow_pal = bg.RelativeInternalCoordinateTransformation(
+        ALA2_Z_MATRIX, ALA2_FIXED, use_pallas=True
+    )
+    x = _random_ala2_xyz(key, 8, jnp.float32)
+    ics, _ = flow_ref.forward((), (x,))
+
+    def loss(flow, ics):
+        (xr,), ld = flow.forward((), ics, inverse=True)
+        return jnp.sum(jnp.sin(xr)) + jnp.sum(ld)
+
+    g_ref = jax.grad(lambda ics: loss(flow_ref, ics))(ics)
+    g_pal = jax.grad(lambda ics: loss(flow_pal, ics))(ics)
+    for a, b in zip(g_pal, g_ref):
+        assert_close(a, b, 1e-4)
+
+
 def test_pallas_wide_and_legacy_layouts_agree(key):
     """Batch % 8 == 0 takes the wide (8-sublane) layout, other batches the
     legacy (rows, B) layout; both must match the XLA path."""
