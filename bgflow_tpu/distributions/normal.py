@@ -77,14 +77,21 @@ class NormalDistribution(Energy, Sampler):
 
 
 class TruncatedNormalDistribution(Energy, Sampler):
-    """Normal restricted to [lower_bound, upper_bound]; icdf sampling.
+    """Normal restricted to [lower_bound, upper_bound].
 
     Used to model bond/angle marginals.  Reference: ``normal.py:95-250``.
     Unlike the reference we recompute the cdf bounds with the
     temperature-scaled sigma, so T != 1 samples always stay in bounds.
+
+    ``sampling_method``: ``"icdf"`` (default; one ``ndtri`` per sample) or
+    ``"rejection"`` (reference ``normal.py:168-183``) — branchless masked
+    rejection rounds under ``lax.fori_loop``; more accurate in far tails
+    under f32 where the icdf route saturates, with an icdf fallback for any
+    chain that never accepts.
     """
 
-    def __init__(self, mu, sigma=1.0, lower_bound=0.0, upper_bound=np.inf, assert_range=True):
+    def __init__(self, mu, sigma=1.0, lower_bound=0.0, upper_bound=np.inf,
+                 assert_range=True, sampling_method="icdf", n_rejection_rounds=64):
         mu = jnp.atleast_1d(jnp.asarray(mu, dtype=jnp.result_type(float)))
         Energy.__init__(self, tuple(mu.shape))
         Sampler.__init__(self)
@@ -93,6 +100,10 @@ class TruncatedNormalDistribution(Energy, Sampler):
         self.lower_bound = jnp.broadcast_to(jnp.asarray(lower_bound, dtype=mu.dtype), mu.shape)
         self.upper_bound = jnp.broadcast_to(jnp.asarray(upper_bound, dtype=mu.dtype), mu.shape)
         self.assert_range = assert_range
+        if sampling_method not in ("icdf", "rejection"):
+            raise ValueError(f"unknown sampling_method {sampling_method!r}")
+        self.sampling_method = sampling_method
+        self.n_rejection_rounds = int(n_rejection_rounds)
 
     def _cdf_bounds(self, sigma):
         alpha = (self.lower_bound - self.mu) / sigma
@@ -101,12 +112,70 @@ class TruncatedNormalDistribution(Energy, Sampler):
 
     def _sample_with_temperature(self, key, n_samples, temperature=1.0):
         sigma = self.sigma * jnp.sqrt(temperature)
+        if self.sampling_method == "rejection":
+            return self._rejection_sample(key, n_samples, sigma)
+        return self._icdf_sample(key, n_samples, sigma)
+
+    def _icdf_sample(self, key, n_samples, sigma):
         cdf_lo, cdf_hi = self._cdf_bounds(sigma)
         u = jax.random.uniform(key, (n_samples, *self.event_shape), dtype=self.mu.dtype)
         r = (cdf_hi - cdf_lo) * u + cdf_lo
         # clip away exact 0/1 to keep ndtri finite
         r = jnp.clip(r, 1e-12, 1.0 - 1e-12)
         return ndtri(r) * sigma + self.mu
+
+    def _rejection_sample(self, key, n_samples, sigma):
+        """Masked rejection rounds with fixed trip count (static shapes).
+
+        In the bulk (standardized bounds straddling the mode region) the
+        proposal is the plain N(mu, sigma) draw of the reference
+        (``bgflow/distribution/normal.py:168-183``).  When the truncation
+        band sits in a far tail — where both the naive proposal and the
+        f32/f64 icdf route fail — the proposal switches per element to the
+        shifted-exponential tail sampler of Robert (1995), which keeps the
+        acceptance rate O(1) at any distance from the mode.  Entries that
+        never accept (measure-zero bands) fall back to the in-bounds clip
+        of the icdf sample.
+        """
+        shape = (n_samples, *self.event_shape)
+        key, fallback_key = jax.random.split(key)
+        a = (self.lower_bound - self.mu) / sigma  # standardized bounds
+        b = (self.upper_bound - self.mu) / sigma
+        right_tail = a > 3.0     # band entirely in the upper tail
+        left_tail = b < -3.0     # band entirely in the lower tail
+        # mirror the left-tail case onto the right tail
+        a_eff = jnp.where(left_tail, -b, a)
+        b_eff = jnp.where(left_tail, -a, b)
+        alpha = 0.5 * (a_eff + jnp.sqrt(a_eff**2 + 4.0))
+        use_tail = right_tail | left_tail
+
+        def round_body(i, carry):
+            x, accepted, key = carry
+            key, k1, k2, k3 = jax.random.split(key, 4)
+            # bulk proposal: z ~ N(0, 1), accept if within [a, b]
+            z_bulk = jax.random.normal(k1, shape, dtype=self.mu.dtype)
+            ok_bulk = (z_bulk >= a) & (z_bulk <= b)
+            # tail proposal: z = a_eff + Exp(alpha), accept w.p. e^{-(z-alpha)^2/2}
+            e = jax.random.exponential(k2, shape, dtype=self.mu.dtype)
+            z_tail = a_eff + e / alpha
+            u = jax.random.uniform(k3, shape, dtype=self.mu.dtype, minval=1e-38)
+            ok_tail = (z_tail <= b_eff) & (jnp.log(u) <= -0.5 * (z_tail - alpha) ** 2)
+            z = jnp.where(use_tail, jnp.where(left_tail, -z_tail, z_tail), z_bulk)
+            ok = jnp.where(use_tail, ok_tail, ok_bulk)
+            x = jnp.where(~accepted & ok, z, x)
+            return x, accepted | ok, key
+
+        z0 = jnp.zeros(shape, dtype=self.mu.dtype)
+        z, accepted, _ = jax.lax.fori_loop(
+            0, self.n_rejection_rounds, round_body,
+            (z0, jnp.zeros(shape, dtype=bool), key),
+        )
+        x = self.mu + sigma * z
+        fallback = jnp.clip(
+            self._icdf_sample(fallback_key, n_samples, sigma),
+            self.lower_bound, self.upper_bound,
+        )
+        return jnp.where(accepted, x, fallback)
 
     def _sample(self, key, n_samples):
         return self._sample_with_temperature(key, n_samples, 1.0)

@@ -40,6 +40,24 @@ class SamplerState(NamedTuple):
         return self._replace(**kwargs)
 
 
+def map_to_primary_cell(x: jax.Array, box_vectors: jax.Array) -> jax.Array:
+    """Wrap particle positions into the primary periodic cell.
+
+    ``x``: positions with trailing dimension ``3*n_particles`` (flat) or 3
+    (already per-particle); ``box_vectors``: (3, 3) row-vector cell matrix
+    (triclinic supported).  Positions are converted to fractional
+    coordinates, reduced mod 1, and mapped back — the TPU-native (batched,
+    two small matmuls) equivalent of the reference's per-update wrap in
+    ``bgflow/distribution/sampling/_iterative_helpers.py:60-97``.
+    """
+    box_vectors = jnp.asarray(box_vectors, dtype=x.dtype)
+    shape = x.shape
+    pos = x.reshape(*shape[:-1], shape[-1] // 3, 3) if shape[-1] != 3 else x
+    frac = pos @ jnp.linalg.inv(box_vectors)
+    pos = (frac - jnp.floor(frac)) @ box_vectors
+    return pos.reshape(shape)
+
+
 def evaluate_energy(state: SamplerState, energy, temperatures=1.0) -> SamplerState:
     """Fill in ``state.energies`` (dimensionless, at T=1; temperature scaling
     happens in the acceptance criterion)."""
@@ -92,6 +110,7 @@ class IterativeSampler(Sampler):
         stride: int = 1,
         n_burnin: int = 0,
         return_hook: Optional[Callable] = None,
+        wrap_into_primary_cell: bool = True,
     ):
         super().__init__(return_hook=return_hook)
         if not isinstance(init_state, SamplerState):
@@ -100,6 +119,9 @@ class IterativeSampler(Sampler):
         self.sampler_steps = list(sampler_steps)
         self.stride = stride
         self.n_burnin = n_burnin
+        # wrap samples into the periodic box after every iteration when the
+        # state carries box_vectors (reference `_iterative_helpers.py:60-97`)
+        self.wrap_into_primary_cell = wrap_into_primary_cell
         self._needs_burnin = n_burnin > 0
         # one jit wrapper reused across sample() calls (a fresh jax.jit per
         # call would re-dispatch through a new cache every time)
@@ -110,6 +132,10 @@ class IterativeSampler(Sampler):
             for step in self.sampler_steps:
                 key, sub = jax.random.split(key)
                 state = step.step(state, sub)
+        if self.wrap_into_primary_cell and state.box_vectors is not None:
+            state = state.replace(samples=tuple(
+                map_to_primary_cell(s, state.box_vectors) for s in state.samples
+            ))
         return state
 
     def _run(self, state, key, n_iterations: int, collect: bool):

@@ -288,9 +288,10 @@ def neutra_phase(n_res, n_samples=98304, n_chains=512, augment=False,
     data, _ = _training_set(n_res, augment, neutra=False,
                             marginals=marginals, residue_ar=residue_ar)
     # NeuTra HMC differentiates through the full flow; the Pallas IC
-    # reconstruction kernel has no reverse-mode rule, so use the (numerically
-    # identical) XLA path here
-    gen = _make_gen(n_res, data, marginals, residue_ar, use_pallas=False)
+    # reconstruction kernel carries a custom_vjp that replays the XLA path
+    # (flows/ic.py, test_pallas_reconstruction_gradient_matches_xla), so the
+    # default backend-appropriate kernel choice is fine here
+    gen = _make_gen(n_res, data, marginals, residue_ar)
     ckpt = os.path.join(ART, f"polyala{n_res}_ckpt{_tag(augment, marginals, residue_ar)}")
     params = restore_checkpoint(ckpt)["params"]
 
@@ -400,6 +401,9 @@ if __name__ == "__main__":
     # 24k-iter full schedule can over-sharpen on weighted data — shorter
     # schedules are a legitimate rung, not just a budget cut
     kv = dict(f.lstrip("-").split("=", 1) for f in flags if "=" in f)
+    unknown = set(kv) - {"iters", "batch"}
+    if unknown:
+        raise SystemExit(f"unknown flag(s): {sorted(unknown)} (expected --iters=N / --batch=N)")
     train_kw = {}
     if "iters" in kv:
         train_kw["n_iter"] = int(kv["iters"])

@@ -62,6 +62,44 @@ def test_truncated_normal_high_temperature_in_bounds(key):
     assert jnp.all((s >= 0.0) & (s <= 2.0))
 
 
+def test_truncated_normal_rejection_sampling(key):
+    """Rejection mode (reference normal.py:168-183): in-bounds, and the
+    empirical distribution matches the icdf route."""
+    kwargs = dict(mu=jnp.array([1.0, 2.0]), sigma=jnp.array([1.0, 0.5]),
+                  lower_bound=0.0, upper_bound=3.0)
+    d_rej = bg.TruncatedNormalDistribution(sampling_method="rejection", **kwargs)
+    d_icdf = bg.TruncatedNormalDistribution(**kwargs)
+    s = d_rej.sample(key, 50_000)
+    assert s.shape == (50_000, 2)
+    assert jnp.all((s >= 0.0) & (s <= 3.0))
+    s2 = d_icdf.sample(jax.random.PRNGKey(1), 50_000)
+    assert_close(jnp.mean(s, axis=0), jnp.mean(s2, axis=0), 2e-2)
+    assert_close(jnp.std(s, axis=0), jnp.std(s2, axis=0), 2e-2)
+    # temperature scaling stays in bounds too
+    st = d_rej.sample(jax.random.PRNGKey(2), 10_000, temperature=9.0)
+    assert jnp.all((st >= 0.0) & (st <= 3.0))
+
+
+def test_truncated_normal_rejection_far_tail(key):
+    """A band 9 sigma into the tail: the icdf route saturates (ndtri of a
+    clipped cdf lands OUT of the band), while the Robert-style tail proposal
+    samples the exact conditional density."""
+    kwargs = dict(mu=jnp.array([0.0]), sigma=jnp.array([1.0]),
+                  lower_bound=9.0, upper_bound=10.0)
+    d = bg.TruncatedNormalDistribution(sampling_method="rejection", **kwargs)
+    s = d.sample(key, 20_000)
+    assert jnp.all((s >= 9.0) & (s <= 10.0))
+    # E[x | 9 <= x <= 10] = 9.1089... for a standard normal
+    assert abs(float(jnp.mean(s)) - 9.109) < 0.01
+    # mirrored band in the lower tail
+    d2 = bg.TruncatedNormalDistribution(
+        mu=jnp.array([0.0]), sigma=jnp.array([1.0]),
+        lower_bound=-10.0, upper_bound=-9.0, sampling_method="rejection")
+    s2 = d2.sample(key, 20_000)
+    assert jnp.all((s2 >= -10.0) & (s2 <= -9.0))
+    assert abs(float(jnp.mean(s2)) + 9.109) < 0.01
+
+
 def test_mean_free_normal(key):
     d = bg.MeanFreeNormalDistribution(dim=9, n_particles=3)
     s = d.sample(key, 100)

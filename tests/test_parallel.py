@@ -12,6 +12,7 @@ from bgflow_tpu.parallel.smc import (
     normalize_log_weights,
     resample,
     sharded_smc_step,
+    sharded_smc_step_hierarchical,
     systematic_resampling_indices,
 )
 from bgflow_tpu.parallel.tempering import ReplicaExchangeStep, sharded_replica_exchange
@@ -132,6 +133,49 @@ def test_sharded_smc_matches_single_device(key):
     # resampled set only contains original particles
     d = jnp.abs(new_samples[:, None, :] - samples[None, :, :]).sum(-1).min(1)
     assert float(d.max()) < 1e-6
+
+
+def test_hierarchical_smc_resamples_from_population(key):
+    """The ppermute-routed resampler returns only original particles and the
+    exact global Kish ESS — without ever all-gathering the population."""
+    mesh = make_mesh()
+    b = 64
+    samples = jax.random.normal(key, (b, 3))
+    logw = jax.random.normal(jax.random.PRNGKey(1), (b,))
+    smc = sharded_smc_step_hierarchical(mesh)
+    new_samples, ess = smc(jax.random.PRNGKey(2), samples, logw)
+    assert new_samples.shape == samples.shape
+    assert_close(ess, bg.effective_sample_size(logw), 1e-4)
+    d = jnp.abs(new_samples[:, None, :] - samples[None, :, :]).sum(-1).min(1)
+    assert float(d.max()) < 1e-6
+
+
+def test_hierarchical_smc_unbiased():
+    """Expected replication frequency of every particle equals its normalized
+    weight (two-level mixture resampling is marginally exact)."""
+    mesh = make_mesh()
+    b = 16  # 2 per shard
+    rng = np.random.default_rng(0)
+    logw = jnp.asarray(rng.normal(size=b))
+    ids = jnp.arange(b, dtype=jnp.float32)[:, None]
+    smc = sharded_smc_step_hierarchical(mesh)
+    counts = np.zeros(b)
+    n_rep = 400
+    for i in range(n_rep):
+        new_ids, _ = smc(jax.random.PRNGKey(i), ids, logw)
+        np.add.at(counts, np.asarray(new_ids[:, 0], dtype=int), 1.0)
+    freq = counts / counts.sum()
+    w = np.exp(np.asarray(normalize_log_weights(logw)))
+    assert np.abs(freq - w).max() < 0.03
+
+
+def test_hierarchical_smc_kills_zero_weight_particles(key):
+    mesh = make_mesh()
+    samples = jnp.arange(16.0)[:, None]
+    logw = jnp.where(jnp.arange(16) < 2, 0.0, -1e30)
+    smc = sharded_smc_step_hierarchical(mesh)
+    new_samples, _ = smc(key, samples, logw)
+    assert jnp.all(new_samples < 2)
 
 
 def test_data_parallel_training_matches_single_device(key):

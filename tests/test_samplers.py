@@ -22,6 +22,35 @@ class AddOne(SamplerStep):
         return state.replace(samples=tuple(x + 1.0 for x in state.samples))
 
 
+def test_primary_cell_wrapping(key):
+    """States carrying box_vectors wrap samples into the periodic cell on
+    every iteration (reference _iterative_helpers.py:60-97)."""
+    from bgflow_tpu.samplers.iterative import map_to_primary_cell
+
+    box = 2.0 * jnp.eye(3)
+    # helper: fractional reduction mod the box
+    x = jnp.array([[2.5, -0.5, 1.0, 4.1, 0.0, -3.9]])
+    wrapped = map_to_primary_cell(x, box)
+    assert_close(wrapped, jnp.array([[0.5, 1.5, 1.0, 0.1, 0.0, 0.1]]), 1e-5)
+    # triclinic box: wrapped fractional coords are in [0, 1)
+    tri = jnp.array([[2.0, 0.0, 0.0], [0.5, 2.0, 0.0], [0.3, 0.4, 2.0]])
+    y = map_to_primary_cell(10.0 * jax.random.normal(key, (5, 6)), tri)
+    frac = y.reshape(5, 2, 3) @ jnp.linalg.inv(tri)
+    assert jnp.all((frac >= -1e-5) & (frac < 1.0 + 1e-5))
+    # the sampler applies the wrap after each iteration
+    init = SamplerState(samples=(jnp.zeros((2, 3)),), box_vectors=box)
+    sampler = bg.IterativeSampler(init, [AddOne()], stride=3)
+    out = sampler.sample(key, 2)
+    # 3 strides add 3.0 -> wraps to 1.0; next iteration: 1+3 = 4 -> 0.0
+    assert_close(out[:, 0, 0], jnp.array([1.0, 0.0]), 1e-6)
+    # wrap can be disabled
+    sampler2 = bg.IterativeSampler(
+        SamplerState(samples=(jnp.zeros((2, 3)),), box_vectors=box),
+        [AddOne()], stride=3, wrap_into_primary_cell=False)
+    out2 = sampler2.sample(key, 2)
+    assert_close(out2[:, 0, 0], jnp.array([3.0, 6.0]), 1e-6)
+
+
 def test_iterative_stride_arithmetic(key):
     init = SamplerState(samples=(jnp.zeros((2, 1)),))
     sampler = bg.IterativeSampler(init, [AddOne()], stride=3, n_burnin=2)
