@@ -1,9 +1,20 @@
-"""Mesh and sharding helpers.
+"""Mesh and sharding helpers — single-host SPMD and the multi-host entry.
 
 The reference has no distributed backend at all (multiprocessing queues to
 OpenMM workers only, ``openmm.py:194-196``); here multi-chip scaling is
 first-class: chains/samples shard over a ``("dp",)`` mesh, params replicate,
 and XLA inserts the collectives.
+
+Multi-host (multi-process) runs are entered via
+:func:`initialize_distributed` + :func:`make_multihost_mesh`: a
+``(hosts, dp)`` mesh whose outer axis crosses DCN (one entry per process /
+slice) and whose inner axis rides ICI within a slice.  **Traffic rules:**
+collectives over the ``hosts`` axis cross DCN, so keep them to low-volume
+reductions (the ``psum`` of a gradient average, scalar ESS/logZ terms);
+population-sized traffic (``all_gather`` of particles, ``ppermute`` replica
+swaps) must stay on the inner ``dp`` axis.  All samplers in
+``bgflow_tpu.parallel`` take the axis name explicitly for exactly this
+reason.
 """
 from __future__ import annotations
 
@@ -13,7 +24,85 @@ import numpy as np
 import jax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-__all__ = ["make_mesh", "shard_batch", "replicate", "data_parallel_shardings"]
+__all__ = [
+    "make_mesh",
+    "shard_batch",
+    "replicate",
+    "data_parallel_shardings",
+    "initialize_distributed",
+    "make_multihost_mesh",
+]
+
+
+def initialize_distributed(
+    coordinator_address: Optional[str] = None,
+    num_processes: Optional[int] = None,
+    process_id: Optional[int] = None,
+    local_device_ids: Optional[Sequence[int]] = None,
+    platform: Optional[str] = None,
+    num_local_cpu_devices: Optional[int] = None,
+) -> None:
+    """Join (or start) a multi-process JAX run.
+
+    Thin wiring around ``jax.distributed.initialize`` — on TPU pods the
+    arguments are auto-detected from the TPU metadata and everything may be
+    left ``None``; on CPU (CI / the 2-process test) pass them explicitly.
+
+    ``platform="cpu"`` additionally pins the CPU platform via ``jax.config``
+    (which wins over ambient sitecustomize re-pins of ``JAX_PLATFORMS``),
+    selects the gloo cross-process collectives implementation, and honors
+    ``num_local_cpu_devices`` — the multi-process analogue of the
+    ``xla_force_host_platform_device_count`` testing recipe.
+
+    Must be called before any backend touch (device query, jit execution).
+    Replaces, at pod scale, the reference's single-host worker pool
+    (``bgflow/distribution/energy/openmm.py:194-196``).
+    """
+    if platform == "cpu":
+        jax.config.update("jax_platforms", "cpu")
+        jax.config.update("jax_cpu_collectives_implementation", "gloo")
+        if num_local_cpu_devices is not None:
+            jax.config.update("jax_num_cpu_devices", int(num_local_cpu_devices))
+    kwargs = {}
+    if coordinator_address is not None:
+        kwargs["coordinator_address"] = coordinator_address
+    if num_processes is not None:
+        kwargs["num_processes"] = num_processes
+    if process_id is not None:
+        kwargs["process_id"] = process_id
+    if local_device_ids is not None:
+        kwargs["local_device_ids"] = list(local_device_ids)
+    jax.distributed.initialize(**kwargs)
+
+
+def make_multihost_mesh(dcn_axis: str = "hosts", ici_axis: str = "dp") -> Mesh:
+    """(n_processes, local-devices) mesh: ``dcn_axis`` crosses hosts/slices,
+    ``ici_axis`` stays within one.
+
+    On TPU pods the device order comes from
+    ``mesh_utils.create_hybrid_device_mesh`` so the inner axis is contiguous
+    on ICI; on backends without slice topology (CPU multi-process tests) the
+    devices are grouped by ``process_index``, which is the same guarantee.
+    Single-process, this degenerates to a ``(1, n_devices)`` mesh, so code
+    written against the two-axis mesh runs unchanged at any scale.
+    """
+    n_proc = jax.process_count()
+    devices = jax.devices()
+    n_local = len(devices) // n_proc
+    if n_proc > 1:
+        try:
+            from jax.experimental import mesh_utils
+
+            dev_array = mesh_utils.create_hybrid_device_mesh(
+                (1, n_local), (n_proc, 1), devices=devices
+            )
+            return Mesh(dev_array, axis_names=(dcn_axis, ici_axis))
+        except (ImportError, ValueError, AssertionError, KeyError):
+            # no slice topology exposed (e.g. CPU): group by process index
+            ordered = sorted(devices, key=lambda d: (d.process_index, d.id))
+            dev_array = np.asarray(ordered).reshape(n_proc, n_local)
+            return Mesh(dev_array, axis_names=(dcn_axis, ici_axis))
+    return Mesh(np.asarray(devices).reshape(1, -1), axis_names=(dcn_axis, ici_axis))
 
 
 def make_mesh(n_devices: Optional[int] = None, axis_name: str = "dp") -> Mesh:
