@@ -8,10 +8,15 @@ xyz.  This is the same architecture the model-quality work trains
 (``bgflow_tpu/models/ala2.py``), running the fused Pallas RQS kernel through
 the relayout-free slab path and the fused Pallas reconstruction kernel.
 
-The baseline constant is the reference (bgflow @ /root/reference, torch CPU
-8 threads, batch 8192) measured on its *affine*-coupling ala2 generator —
-the faster of its two architectures, so ``vs_baseline`` understates the
+The baseline constants are the reference (bgflow @ /root/reference, torch
+CPU 8 threads, batch 8192) measured on its *affine*-coupling ala2 generator
+— the faster of its two architectures, so ``vs_baseline`` understates the
 speedup (the reference's nflows spline path is slower than its affine one).
+They are REPRODUCIBLE: ``python scripts/baseline_reference.py`` re-measures
+them on this container (artifacts/baseline_reference.json records the last
+run + environment).  The train baseline is reference-KLTrainer NLL-only
+(mixed NLL/KL needs OpenMM, absent here) while the TPU number is the
+heavier mixed step — the multiple understates again.
 
 Prints ONE JSON line {"metric", "value", "unit", "vs_baseline"}; auxiliary
 metrics (affine-path samples/s, training steps/s) go to BENCH_EXTRA.json
@@ -34,8 +39,9 @@ import jax.numpy as jnp
 
 import bgflow_tpu as bg
 
-BASELINE_CPU_ALA2_SAMPLES_PER_SEC = 43_453.0
-BASELINE_CPU_TRAIN_STEPS_PER_SEC = 17.9
+# regenerate with scripts/baseline_reference.py (full run, 2026-08-19)
+BASELINE_CPU_ALA2_SAMPLES_PER_SEC = 68_211.0
+BASELINE_CPU_TRAIN_STEPS_PER_SEC = 12.66
 
 
 def _synthetic_data(n=512):
@@ -171,6 +177,26 @@ def main():
     spline_sps = measure_sampling(gen, params, key, n, iters=10 if ON_TPU else 4)
     extra["spline_samples_per_sec"] = round(spline_sps, 1)
 
+    # roofline/MFU accounting: what fraction of the chip the headline rate
+    # uses, and whether the path is compute- or bandwidth-bound.  FLOPs and
+    # HBM bytes come from the compiled executable's own cost analysis (with
+    # the backend-independent jaxpr matmul count as cross-check / fallback).
+    from bgflow_tpu.utils import roofline as rl
+
+    sample_fn = lambda p, k: gen.sample(p, k, n).xs[0]  # noqa: E731
+    ca = rl.xla_cost_analysis(sample_fn, params, key)
+    df = rl.dot_flops(sample_fn, params, key)
+    flops = ca["flops"] if ca and "flops" in ca else df
+    bytes_total = ca.get("bytes_accessed") if ca else None
+    roof = rl.roofline(
+        flops / n, (bytes_total / n) if bytes_total else None, spline_sps
+    )
+    roof["dot_flops_per_sample"] = round(df / n, 1)
+    roof["flops_source"] = (
+        "xla_cost_analysis" if ca else "jaxpr_dot_general (matmul-only lower bound)"
+    )
+    extra["roofline"] = roof
+
     if ON_TPU:
         # auxiliary: affine path (round-1 headline config) and training rate
         gen_a, params_a = make_flagship(key, transformer="affine")
@@ -205,6 +231,10 @@ def main():
         "vs_baseline": round(spline_sps / BASELINE_CPU_ALA2_SAMPLES_PER_SEC, 2),
         "backend": jax.default_backend(),
     }
+    if "mfu_pct" in roof:
+        line["mfu_pct"] = roof["mfu_pct"]
+    if "bound" in roof:
+        line["bound"] = roof["bound"]
     if not ON_TPU:
         # honest fallback measurement, flagged as such; the last real-TPU
         # numbers live in BENCH_EXTRA.json["last_tpu_measurement"]
