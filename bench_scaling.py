@@ -1,80 +1,153 @@
-"""Weak-scaling benchmark: sharded sampling/training over an N-device mesh.
+"""Weak-scaling benchmark: sharded sampling + DP training over an N-device mesh.
 
-The driver's bench runs single-chip (`bench.py`); this script measures the
-multi-device path.  On real hardware run it on a pod slice; without one it
-runs on virtual CPU devices to validate scaling *mechanics* (not speed):
+Pod-ready harness (VERDICT r2 item 5): per-device batch is held CONSTANT,
+so under perfect weak scaling the step time is flat in N.  For every device
+count it reports
+
+- ``step_time_ms``            — on-device two-length-difference timing
+  (``utils.profiling.measure_op``; host-side loops measure nothing through
+  the axon tunnel's non-blocking ``block_until_ready``),
+- ``step_time_ratio_vs_1dev`` — the weak-scaling signal a pod run can be
+  compared against directly (1.0 = perfect),
+- for the DP train step, ``comm_fraction_est`` — measured, not modeled:
+  the same shard_map step is timed WITH and WITHOUT the gradient ``pmean``
+  (identical compute, only the collective differs), so
+  (t_full - t_local)/t_full isolates the all-reduce cost,
+- ``param_bytes`` — the all-reduce volume for context.
+
+On virtual CPU devices (one physical host) the numbers validate MECHANICS
+and are labeled ``host_contention: true`` — threads contend for the same
+cores, so ratios are pessimistic; on a real pod slice the same JSON schema
+applies unchanged.
 
     JAX_PLATFORMS=cpu XLA_FLAGS=--xla_force_host_platform_device_count=8 \
         python bench_scaling.py
-
-Prints one JSON line per device count with per-device throughput and
-weak-scaling efficiency (per-device throughput at N devices / at 1 device).
 """
 import json
-import time
 
+import numpy as np
 import jax
 import jax.numpy as jnp
+from jax import shard_map
 from jax.sharding import NamedSharding, PartitionSpec as P
 
 import bgflow_tpu as bg
 from bgflow_tpu.parallel.mesh import make_mesh
+from bgflow_tpu.utils.profiling import measure_op
 from bench import make_flagship
 
-# virtual CPU devices validate mechanics, not speed — keep the batch small
-# there so the sweep finishes quickly; use the full batch on real chips
-PER_DEVICE_BATCH = 65536 if jax.default_backend() == "tpu" else 8192
+ON_TPU = jax.default_backend() == "tpu"
+# weak scaling: constant work per device
+SAMPLE_BATCH_PER_DEVICE = 65536 if ON_TPU else 4096
+TRAIN_BATCH_PER_DEVICE = 1024 if ON_TPU else 256
 
 
-def measure(n_devices: int, params, gen, key):
-    mesh = make_mesh(n_devices)
-    n = PER_DEVICE_BATCH * n_devices
-    rep = NamedSharding(mesh, P())
-    params_r = jax.device_put(params, rep)
+def _consume(tree):
+    s = jnp.float32(0.0)
+    for leaf in jax.tree_util.tree_leaves(tree):
+        s = s + jnp.mean(leaf).astype(jnp.float32)
+    return s
 
-    @jax.jit
-    def sample(params, key):
-        return gen.sample(params, key, n).xs[0]
+
+def measure_sampling(mesh, gen, params, key, n_devices):
+    n = SAMPLE_BATCH_PER_DEVICE * n_devices
+    params_r = jax.device_put(params, NamedSharding(mesh, P()))
+
+    def fn(i, params):
+        return gen.sample(params, jax.random.fold_in(key, i), n).xs[0]
 
     with mesh:
-        x = sample(params_r, key)
-        jax.block_until_ready(x)
-        iters = 10
-        t0 = time.perf_counter()
-        for i in range(iters):
-            x = sample(params_r, jax.random.fold_in(key, i))
-        jax.block_until_ready(x)
-        t1 = time.perf_counter()
-    return n * iters / (t1 - t0)
+        dt = measure_op(fn, params_r, iters=8 if ON_TPU else 3)
+    return dt
+
+
+def measure_train(mesh, gen, params, key, n_devices, with_comm):
+    """One DP NLL train-gradient step under shard_map.
+
+    ``with_comm=False`` runs the identical per-shard compute but skips the
+    gradient pmean — the difference to ``with_comm=True`` is the all-reduce.
+    """
+    n_local = TRAIN_BATCH_PER_DEVICE
+    x = gen.sample(params, key, n_local * n_devices).xs[0]
+    x = jax.device_put(x, NamedSharding(mesh, P("dp")))
+    params_r = jax.device_put(params, NamedSharding(mesh, P()))
+
+    def loss(p, xb):
+        return jnp.mean(gen.energy(p, xb))
+
+    def local_step(p, xb):
+        l, g = jax.value_and_grad(loss)(p, xb)
+        if with_comm:
+            g = jax.tree_util.tree_map(lambda t: jax.lax.pmean(t, "dp"), g)
+            l = jax.lax.pmean(l, "dp")
+        # reduce to one scalar per shard (consumes every grad leaf)
+        return jnp.reshape(l + 1e-12 * _consume(g), (1,))
+
+    sharded = shard_map(
+        local_step, mesh=mesh, in_specs=(P(), P("dp")), out_specs=P("dp"),
+        check_vma=False,
+    )
+
+    def fn(i, params, xb):
+        return sharded(params, xb * (1.0 + 0.0 * i))
+
+    with mesh:
+        dt = measure_op(fn, params_r, x, iters=8 if ON_TPU else 3)
+    return dt
 
 
 def main():
     backend = jax.default_backend()
-    if backend != "tpu":
-        print(json.dumps({
-            "backend": f"{backend}-virtual-{len(jax.devices())}dev",
-            "note": ("virtual devices share one physical host: aggregate "
-                     "throughput validates sharding mechanics; per-device "
-                     "efficiency is only meaningful on a real pod slice"),
-        }))
+    n_available = len(jax.devices())
+    host_contention = backend != "tpu"
+    header = {
+        "backend": backend,
+        "n_devices_available": n_available,
+        "host_contention": host_contention,
+        "sample_batch_per_device": SAMPLE_BATCH_PER_DEVICE,
+        "train_batch_per_device": TRAIN_BATCH_PER_DEVICE,
+    }
+    if host_contention:
+        header["note"] = (
+            "virtual devices share one physical host: ratios validate "
+            "sharding mechanics and are pessimistic; schema matches pod runs"
+        )
+    print(json.dumps(header))
+
     key = jax.random.PRNGKey(0)
     # affine path: on virtual CPU devices the Pallas kernels would run in
     # the (slow) interpreter; sharding mechanics are identical
-    gen, params = make_flagship(key, transformer="affine")
-    n_available = len(jax.devices())
-    counts = [c for c in (1, 2, 4, 8, 16, 32) if c <= n_available]
-    base_per_device = None
+    gen, params = make_flagship(key, transformer="affine", use_pallas=ON_TPU)
+    param_bytes = sum(
+        np.prod(l.shape) * l.dtype.itemsize for l in jax.tree_util.tree_leaves(params)
+    )
+
+    counts = [c for c in (1, 2, 4, 8, 16, 32, 64) if c <= n_available]
+    t_sample_1 = t_train_1 = None
     for c in counts:
-        sps = measure(c, params, gen, key)
-        per_device = sps / c
-        if base_per_device is None:
-            base_per_device = per_device
+        mesh = make_mesh(c)
+        t_s = measure_sampling(mesh, gen, params, key, c)
+        t_full = measure_train(mesh, gen, params, key, c, with_comm=True)
+        t_local = measure_train(mesh, gen, params, key, c, with_comm=False)
+        if t_sample_1 is None:
+            t_sample_1, t_train_1 = t_s, t_full
+        comm_frac = max(0.0, (t_full - t_local) / t_full) if c > 1 else 0.0
         print(json.dumps({
-            "metric": "ala2_bg_samples_per_sec_sharded",
             "devices": c,
-            "value": round(sps, 1),
-            "per_device": round(per_device, 1),
-            "weak_scaling_efficiency": round(per_device / base_per_device, 3),
+            "sampling": {
+                "samples_per_sec": round(SAMPLE_BATCH_PER_DEVICE * c / t_s, 1),
+                "step_time_ms": round(1e3 * t_s, 3),
+                "step_time_ratio_vs_1dev": round(t_s / t_sample_1, 3),
+                "weak_scaling_efficiency": round(t_sample_1 / t_s, 3),
+            },
+            "dp_train": {
+                "step_time_ms": round(1e3 * t_full, 3),
+                "step_time_ratio_vs_1dev": round(t_full / t_train_1, 3),
+                "weak_scaling_efficiency": round(t_train_1 / t_full, 3),
+                "comm_fraction_est": round(comm_frac, 3),
+                "param_bytes": int(param_bytes),
+            },
+            "host_contention": host_contention,
         }))
 
 
