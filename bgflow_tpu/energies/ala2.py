@@ -90,10 +90,13 @@ _BOND_PARAMS = {
 }
 
 # amber parm99 angle parameters: (t1, t2, t3) -> (k kcal/mol/rad^2, theta0 deg)
-# All values from parm99.dat's ANGL block.  The two amide-H entries
-# ("C","N","H") and ("H","N","CT") carry the largest transcription risk
-# (50 vs the older parm91-era 30-35 family); they affect only the stiff
-# H-placement marginals, not the phi/psi surface.
+# All values from parm99.dat's ANGL block.  The two amide-H entries were
+# flagged for transcription risk in earlier revisions and are now resolved
+# against the published parameter set: parm99.dat lists ``C -N -H  50.0
+# 120.00`` and ``CT-N -H  38.0  118.04`` (the latter equals the distinctive
+# k="317.984" kJ entry of OpenMM's amber99sb ffxml: 2 * 38.0 * 4.184).
+# These affect only the stiff H-placement marginals, not the phi/psi
+# surface.
 _ANGLE_PARAMS = {
     ("HC", "CT", "HC"): (35.0, 109.50),
     ("H1", "CT", "H1"): (35.0, 109.50),
@@ -107,7 +110,7 @@ _ANGLE_PARAMS = {
     ("O", "C", "N"): (80.0, 122.90),
     ("C", "N", "H"): (50.0, 120.00),
     ("C", "N", "CT"): (50.0, 121.90),
-    ("H", "N", "CT"): (50.0, 118.04),
+    ("H", "N", "CT"): (38.0, 118.04),
     ("N", "CT", "C"): (63.0, 110.10),
     ("N", "CT", "CT"): (80.0, 109.70),
     ("CT", "CT", "C"): (63.0, 111.10),
