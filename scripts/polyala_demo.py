@@ -215,6 +215,25 @@ def _neutra_data_path(n_res, augment, marginals, residue_ar):
         ART, f"polyala{n_res}_neutra{_tag(augment, marginals, residue_ar)}.npz")
 
 
+def _filter_frozen_chains(data, energies):
+    """Drop frames from chains that froze at a clash configuration.
+
+    NeuTra chains started from a pathological frame can have ~0 acceptance
+    (the polyala3 run left 4/512 chains stuck at u=1007 kT — 0.78% of the
+    ensemble); NLL training on them teaches the flow a clash tail that
+    destroys reweighting ESS.  Filter by a robust energy cutoff
+    (median + 10 * robust sigma from the IQR)."""
+    med = np.median(energies)
+    iqr = np.quantile(energies, 0.75) - np.quantile(energies, 0.25)
+    cutoff = med + 10.0 * (iqr / 1.349)
+    keep = energies <= cutoff
+    n_drop = int((~keep).sum())
+    if n_drop:
+        print(f"neutra filter: dropped {n_drop}/{len(keep)} frames above "
+              f"{cutoff:.1f} kT (median {med:.1f})", flush=True)
+    return data[keep]
+
+
 def _training_set(n_res, augment, neutra, marginals=False, residue_ar=False):
     """The (data, log_weights) pair for a variant — deterministic, so eval
     can rebuild the exact generator (whitening/marginal statistics are
@@ -223,7 +242,8 @@ def _training_set(n_res, augment, neutra, marginals=False, residue_ar=False):
         # NeuTra-regenerated exact ensemble (uniform weights); optionally
         # still mixed with the umbrella augmentation frames
         path = _neutra_data_path(n_res, augment, marginals, residue_ar)
-        data = np.load(path)["data"]
+        blob = np.load(path)
+        data = _filter_frozen_chains(blob["data"], blob["energies"])
         log_w = None
         if augment:
             # umbrella block only (the neutra frames supersede the old
@@ -295,8 +315,16 @@ def neutra_phase(n_res, n_samples=98304, n_chains=512, augment=False,
     ckpt = os.path.join(ART, f"polyala{n_res}_ckpt{_tag(augment, marginals, residue_ar)}")
     params = restore_checkpoint(ckpt)["params"]
 
-    # chain starts: frames spread across the existing ensemble
-    x0 = jnp.asarray(data[:: max(1, len(data) // n_chains)][:n_chains])
+    # chain starts: spread across the LOW-ENERGY half of the ensemble — a
+    # hot-rung clash frame as x0 can freeze its chain for the whole run
+    # (zero acceptance through the latent preconditioner)
+    from bgflow_tpu.energies.peptide import build_polyala_forcefield
+
+    ff0 = build_polyala_forcefield(n_res)
+    cand = data[:: max(1, len(data) // (4 * n_chains))][: 4 * n_chains]
+    u0 = np.asarray(ff0.energy(jnp.asarray(cand)))
+    pool = cand[u0 <= np.median(u0)]
+    x0 = jnp.asarray(pool[:n_chains])
     t0 = time.time()
     res = bg.neutra_sample(
         gen, params, jax.random.PRNGKey(23), n_samples, n_chains=n_chains,
