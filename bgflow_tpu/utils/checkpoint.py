@@ -25,13 +25,23 @@ def _manager(directory: str, max_to_keep: int = 3):
 
 
 def save_checkpoint(directory: str, step: int, state: Any, max_to_keep: int = 3) -> None:
-    """Save a pytree ``state`` (params / opt_state / sampler state / keys)."""
+    """Save a pytree ``state`` (params / opt_state / sampler state / keys).
+
+    ``force=True`` below matters: orbax's ``CheckpointManager.save`` silently
+    no-ops when ``step`` is <= the directory's latest existing step (its
+    preemption-resume semantics).  A caller retraining into a directory that
+    already holds an older run's later-step checkpoint would otherwise lose
+    the new parameters without any error.  ``save_checkpoint`` is an explicit
+    request, so it always writes.
+    """
     import orbax.checkpoint as ocp
 
     mgr = _manager(directory, max_to_keep)
-    mgr.save(step, args=ocp.args.StandardSave(state))
+    saved = mgr.save(step, args=ocp.args.StandardSave(state), force=True)
     mgr.wait_until_finished()
     mgr.close()
+    if not saved:
+        raise RuntimeError(f"orbax refused to save step {step} into {directory}")
 
 
 def restore_checkpoint(directory: str, step: Optional[int] = None, template: Any = None) -> Any:

@@ -266,6 +266,17 @@ def train_phase(n_res, n_iter=24000, batch=1024, augment=False, marginals=False,
     import bgflow_tpu as bg
     import optax
 
+    # a retrain REPLACES the variant's checkpoint: stale later-step dirs from
+    # a previous run would otherwise shadow this run at restore-latest time
+    # (and are inconsistent with freshly regenerated data anyway, because the
+    # whitening/marginal constants are data-derived)
+    import shutil
+
+    ckpt_dir = os.path.join(
+        ART, f"polyala{n_res}_ckpt{_tag(augment, marginals, residue_ar, neutra)}")
+    if os.path.isdir(ckpt_dir):
+        shutil.rmtree(ckpt_dir)
+
     data, log_w = _training_set(n_res, augment, neutra, marginals, residue_ar)
     if augment and not neutra:
         np.savez_compressed(
@@ -283,8 +294,7 @@ def train_phase(n_res, n_iter=24000, batch=1024, augment=False, marginals=False,
     params, opt_state, reporter = trainer.train(
         params, jax.random.PRNGKey(1), n_iter, data=sampler,
         batchsize=batch, scan_chunk=1000, progress_interval=1,
-        checkpoint_dir=os.path.join(
-            ART, f"polyala{n_res}_ckpt{_tag(augment, marginals, residue_ar, neutra)}"),
+        checkpoint_dir=ckpt_dir,
     )
     print("final loss:", reporter.losses()[0][-20:].mean(), flush=True)
 

@@ -175,6 +175,18 @@ def test_checkpoint_roundtrip(tmp_path, key):
         assert_close(a, b, 1e-7)
 
 
+def test_checkpoint_save_older_step_not_silently_dropped(tmp_path, key):
+    """Orbax's manager skips saves at steps <= latest (preemption-resume
+    semantics); save_checkpoint must force-write anyway — a retrain into a
+    directory holding an older run's later-step checkpoint used to lose its
+    parameters with no error."""
+    d = str(tmp_path / "ckpt")
+    save_checkpoint(d, 24000, {"w": jnp.ones(3)})
+    save_checkpoint(d, 8000, {"w": jnp.full(3, 2.0)})
+    restored = restore_checkpoint(d, step=8000, template={"w": jnp.zeros(3)})
+    assert_close(restored["w"], jnp.full(3, 2.0), 1e-7)
+
+
 def test_timer_and_scope(key):
     with Timer() as t:
         with scope("test_phase"):
