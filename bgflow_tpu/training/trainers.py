@@ -55,7 +55,7 @@ def _tree_all_finite(tree):
 
 
 class KLTrainer:
-    """Mixed NLL / reverse-KL trainer with NaN-step skipping.
+    """Mixed NLL / reverse-KL / log-variance trainer with NaN-step skipping.
 
     Parameters
     ----------
@@ -63,6 +63,15 @@ class KLTrainer:
     optimizer : optax.GradientTransformation (default: adam(5e-3), matching
         the reference's default ``trainers.py:64``)
     train_likelihood / train_energy : include the NLL / KL loss terms.
+    train_logvar : include the log-variance loss ``Var_batch[log w]`` over
+        fully reparametrized model samples, where ``log w = -u(x) - log q(x)``
+        (the unnormalized importance log-weight).  Zero iff ``q = p``; unlike
+        reverse KL it penalizes BOTH log-weight tails — the overdispersion
+        tail (model mass at high energy) AND the underweighted-core tail that
+        caps sampling efficiency — and it directly targets the reweighting
+        ESS (``ESS ~ n / E[w^2]``, controlled by ``Var[log w]``).  Use as a
+        fine-tune term with an NLL anchor: like reverse KL it is blind to
+        modes the model has already dropped.
     custom_loss : optional ``fn(params, key) -> scalar`` added with weight
         ``w_custom``.
     """
@@ -73,12 +82,14 @@ class KLTrainer:
         optimizer: Optional[optax.GradientTransformation] = None,
         train_likelihood: bool = True,
         train_energy: bool = True,
+        train_logvar: bool = False,
         custom_loss: Optional[Callable] = None,
     ):
         self.bg = bg
         self.optimizer = optimizer if optimizer is not None else optax.adam(5e-3)
         self.train_likelihood = train_likelihood
         self.train_energy = train_energy
+        self.train_logvar = train_logvar
         self.custom_loss = custom_loss
         self._step_cache = {}
 
@@ -91,8 +102,10 @@ class KLTrainer:
         key,
         batch=None,
         n_kl_samples: int = 0,
+        n_logvar_samples: int = 0,
         w_likelihood=1.0,
         w_energy=1.0,
+        w_logvar=1.0,
         w_custom: float = 1.0,
         temperature=1.0,
     ):
@@ -100,12 +113,28 @@ class KLTrainer:
         metrics = {}
         total = 0.0
         wsum = 0.0
-        key_kl, key_custom = jax.random.split(key)
+        key_kl, key_lv, key_custom = jax.random.split(key, 3)
         if self.train_energy and n_kl_samples > 0:
             kll = jnp.mean(self.bg.kldiv(params, key_kl, n_kl_samples, temperature=temperature))
             metrics["kl"] = kll
             total = total + w_energy * kll
             wsum += w_energy
+        if self.train_logvar and n_logvar_samples > 0:
+            out = self.bg.sample(
+                params, key_lv, n_logvar_samples,
+                temperature=temperature, with_log_weights=True,
+            )
+            lw = out.log_weights
+            # non-finite log-weights (clipped-energy overflow etc.) would
+            # poison the variance; average over the finite ones only
+            finite = jnp.isfinite(lw)
+            n_f = jnp.maximum(jnp.sum(finite), 1)
+            lwc = jnp.where(finite, lw, 0.0)
+            mean = jnp.sum(lwc) / n_f
+            lv = jnp.sum(jnp.where(finite, (lwc - mean) ** 2, 0.0)) / n_f
+            metrics["logvar"] = lv
+            total = total + w_logvar * lv
+            wsum += w_logvar
         if self.train_likelihood and batch is not None:
             batch = batch if isinstance(batch, tuple) else (batch,)
             nll = jnp.mean(self.bg.energy(params, *batch, temperature=temperature))
@@ -124,8 +153,10 @@ class KLTrainer:
         self,
         batchsize_likelihood: int = 0,
         batchsize_energy: int = 0,
+        batchsize_logvar: int = 0,
         w_likelihood=1.0,
         w_energy=1.0,
+        w_logvar=1.0,
         temperature=1.0,
         clip_grad_norm: Optional[float] = None,
     ):
@@ -146,8 +177,10 @@ class KLTrainer:
             self._build_step_fn(
                 batchsize_likelihood=batchsize_likelihood,
                 batchsize_energy=batchsize_energy,
+                batchsize_logvar=batchsize_logvar,
                 w_likelihood=w_likelihood,
                 w_energy=w_energy,
+                w_logvar=w_logvar,
                 temperature=temperature,
                 clip_grad_norm=clip_grad_norm,
             )
@@ -157,8 +190,10 @@ class KLTrainer:
         self,
         batchsize_likelihood=0,
         batchsize_energy=0,
+        batchsize_logvar=0,
         w_likelihood=1.0,
         w_energy=1.0,
+        w_logvar=1.0,
         temperature=1.0,
         clip_grad_norm=None,
     ):
@@ -177,8 +212,10 @@ class KLTrainer:
                 key,
                 batch=batch,
                 n_kl_samples=batchsize_energy,
+                n_logvar_samples=batchsize_logvar,
                 w_likelihood=resolve(w_likelihood, step),
                 w_energy=resolve(w_energy, step),
+                w_logvar=resolve(w_logvar, step),
                 temperature=resolve(temperature, step),
             )
 
@@ -207,8 +244,10 @@ class KLTrainer:
         n_steps: int,
         batchsize_likelihood: int = 0,
         batchsize_energy: int = 0,
+        batchsize_logvar: int = 0,
         w_likelihood=1.0,
         w_energy=1.0,
+        w_logvar=1.0,
         temperature=1.0,
         clip_grad_norm: Optional[float] = None,
     ):
@@ -230,8 +269,10 @@ class KLTrainer:
         step_fn = self._build_step_fn(
             batchsize_likelihood=batchsize_likelihood,
             batchsize_energy=batchsize_energy,
+            batchsize_logvar=batchsize_logvar,
             w_likelihood=w_likelihood,
             w_energy=w_energy,
+            w_logvar=w_logvar,
             temperature=temperature,
             clip_grad_norm=clip_grad_norm,
         )
@@ -274,8 +315,10 @@ class KLTrainer:
         opt_state=None,
         batchsize: int = 128,
         n_kl_samples: Optional[int] = None,
+        n_logvar_samples: Optional[int] = None,
         w_likelihood=1.0,
         w_energy=1.0,
+        w_logvar=1.0,
         temperature=1.0,
         progress_interval: Optional[int] = None,
         reporter: Optional[LossReporter] = None,
@@ -308,16 +351,20 @@ class KLTrainer:
         if scan_chunk:
             return self._train_scanned(
                 params, key, n_iter, data, opt_state, batchsize, n_kl_samples,
-                w_likelihood, w_energy, temperature, progress_interval,
+                n_logvar_samples, w_likelihood, w_energy, w_logvar,
+                temperature, progress_interval,
                 reporter, test_data, test_interval, test_batchsize,
                 checkpoint_dir, checkpoint_interval, start_step, scan_chunk,
             )
         n_kl = batchsize if n_kl_samples is None else n_kl_samples
+        n_lv = batchsize if n_logvar_samples is None else n_logvar_samples
         step = self.make_train_step(
             batchsize_likelihood=batchsize if data is not None else 0,
             batchsize_energy=n_kl if self.train_energy and self.bg.target is not None else 0,
+            batchsize_logvar=n_lv if self.train_logvar and self.bg.target is not None else 0,
             w_likelihood=w_likelihood,
             w_energy=w_energy,
+            w_logvar=w_logvar,
             temperature=temperature,
         )
         track_test = test_data is not None
@@ -369,12 +416,14 @@ class KLTrainer:
 
     def _train_scanned(
         self, params, key, n_iter, data, opt_state, batchsize, n_kl_samples,
-        w_likelihood, w_energy, temperature, progress_interval, reporter,
+        n_logvar_samples, w_likelihood, w_energy, w_logvar, temperature,
+        progress_interval, reporter,
         test_data, test_interval, test_batchsize, checkpoint_dir,
         checkpoint_interval, start_step, scan_chunk,
     ):
         """On-device chunked training loop (``train(scan_chunk=...)``)."""
         n_kl = batchsize if n_kl_samples is None else n_kl_samples
+        n_lv = batchsize if n_logvar_samples is None else n_logvar_samples
         data_arrays = ()
         log_weights = None
         if data is not None:
@@ -389,8 +438,10 @@ class KLTrainer:
             n,
             batchsize_likelihood=batchsize if data is not None else 0,
             batchsize_energy=n_kl if self.train_energy and self.bg.target is not None else 0,
+            batchsize_logvar=n_lv if self.train_logvar and self.bg.target is not None else 0,
             w_likelihood=w_likelihood,
             w_energy=w_energy,
+            w_logvar=w_logvar,
             temperature=temperature,
         )
         full = min(scan_chunk, n_iter)

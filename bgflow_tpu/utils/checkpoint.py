@@ -37,6 +37,10 @@ def save_checkpoint(directory: str, step: int, state: Any, max_to_keep: int = 3)
     import orbax.checkpoint as ocp
 
     mgr = _manager(directory, max_to_keep)
+    if step in (mgr.all_steps() or ()):
+        # explicit re-save of an existing step = overwrite (e.g. the trainer
+        # saving its final step right after an interval save landed there)
+        mgr.delete(step)
     saved = mgr.save(step, args=ocp.args.StandardSave(state), force=True)
     mgr.wait_until_finished()
     mgr.close()

@@ -88,43 +88,47 @@ def main():
             lwf[(lwf > np.quantile(lwf, 0.05)) & (lwf < np.quantile(lwf, 0.95))])), 3),
     }
 
-    # decompose the top samples: u vs per-term energies
+    # decompose the top samples: u vs per-term energies.  The per-term
+    # ClassicalForceField methods take (B, n_atoms, 3) and return kJ/mol, so
+    # wrap them to match ff.energy's flat-(B, 3N)-in / kT-out convention.
+    def _terms(name_fns, xs_flat):
+        p = xs_flat.reshape(xs_flat.shape[0], -1, 3)
+        return {name: np.asarray(fn(p)) / ff.kt for name, fn in name_fns}
+
+    TERMS = (
+        ("bond", ff.bond_energy), ("angle", ff.angle_energy),
+        ("torsion", ff.torsion_energy), ("nonbonded", ff.nonbonded_energy),
+    )
     idx_f = np.nonzero(finite)[0]
     sel = idx_f[topk[:8]]
     xs = x[jnp.asarray(sel)]
     u_top = np.asarray(gen.target.energy(xs))
     rep["top8_u_kt"] = [round(float(v), 1) for v in u_top]
+    rep["top8_logq"] = [round(float(v), 1) for v in np.asarray(-lw[sel] - u_top)]
     rep["top8_terms"] = {
-        name: [round(float(v), 1) for v in np.asarray(fn(xs))]
-        for name, fn in (
-            ("bond", ff.bond_energy), ("angle", ff.angle_energy),
-            ("torsion", ff.torsion_energy), ("nonbonded", ff.nonbonded_energy),
-        )
+        name: [round(float(v), 1) for v in vals]
+        for name, vals in _terms(TERMS, xs).items()
     }
     # a median-weight control group
     mid = idx_f[order[len(order) // 2: len(order) // 2 + 8]]
     xm = x[jnp.asarray(mid)]
-    rep["mid8_u_kt"] = [round(float(v), 1) for v in np.asarray(gen.target.energy(xm))]
+    u_mid = np.asarray(gen.target.energy(xm))
+    rep["mid8_u_kt"] = [round(float(v), 1) for v in u_mid]
+    rep["mid8_logq"] = [round(float(v), 1) for v in np.asarray(-lw[mid] - u_mid)]
 
     # model-sample per-term means vs data
     xs_all = x[:8192]
     xd = jnp.asarray(np.asarray(data)[:8192])
     rep["model_terms_mean"] = {
-        name: round(float(jnp.mean(fn(xs_all))), 2)
-        for name, fn in (
-            ("bond", ff.bond_energy), ("angle", ff.angle_energy),
-            ("torsion", ff.torsion_energy), ("nonbonded", ff.nonbonded_energy),
-            ("total", ff.energy),
-        )
+        name: round(float(vals.mean()), 2)
+        for name, vals in _terms(TERMS, xs_all).items()
     }
+    rep["model_terms_mean"]["total"] = round(float(jnp.mean(ff.energy(xs_all))), 2)
     rep["data_terms_mean"] = {
-        name: round(float(jnp.mean(fn(xd))), 2)
-        for name, fn in (
-            ("bond", ff.bond_energy), ("angle", ff.angle_energy),
-            ("torsion", ff.torsion_energy), ("nonbonded", ff.nonbonded_energy),
-            ("total", ff.energy),
-        )
+        name: round(float(vals.mean()), 2)
+        for name, vals in _terms(TERMS, xd).items()
     }
+    rep["data_terms_mean"]["total"] = round(float(jnp.mean(ff.energy(xd))), 2)
     print(json.dumps(rep, indent=1), flush=True)
     with open(os.path.join(ART, f"polyala{n_res}_logw_diag{tag}.json"), "w") as fh:
         json.dump(rep, fh, indent=1)

@@ -78,6 +78,44 @@ def test_trained_bg_covers_both_wells(key):
     #  training; ESS is the meaningful check here)
 
 
+def test_logvar_finetune_raises_ess(key):
+    """Log-variance fine-tune: after an NLL pretrain on well data, adding the
+    Var[log w] term (reparametrized model samples) shrinks the log-weight
+    variance and raises reweighting ESS — the overdispersion fix that reverse
+    KL can't deliver without mode collapse."""
+    gen, params = make_realnvp_bg(key)
+    key_d, key = jax.random.split(key)
+    n = 4096
+    wells = jnp.where(jax.random.bernoulli(key_d, shape=(n, 1)), 1.4, -1.4)
+    x = jnp.concatenate([
+        wells + 0.2 * jax.random.normal(key_d, (n, 1)),
+        jax.random.normal(key, (n, 1)),
+    ], axis=-1)
+    data = bg.DataSetSampler(x)
+    pre = bg.KLTrainer(gen, train_energy=False, optimizer=optax.adam(2e-3))
+    params, opt_state, _ = pre.train(params, key, n_iter=150, data=data, batchsize=256)
+
+    def ess_of(p):
+        out = gen.sample(p, jax.random.PRNGKey(99), 4000, with_log_weights=True)
+        return float(bg.effective_sample_size(out.log_weights))
+
+    ess_pre = ess_of(params)
+    ft = bg.KLTrainer(
+        gen, train_energy=False, train_logvar=True, optimizer=optax.adam(5e-4)
+    )
+    step = ft.make_train_step(
+        batchsize_likelihood=256, batchsize_logvar=256, w_logvar=0.05
+    )
+    opt2 = ft.init(params)
+    for _ in range(120):
+        key, kb, ks = jax.random.split(key, 3)
+        batch = (data.sample(kb, 256),)
+        params, opt2, metrics = step(params, opt2, ks, batch, 0)
+    assert jnp.isfinite(metrics["logvar"])
+    ess_post = ess_of(params)
+    assert ess_post > ess_pre * 1.1
+
+
 def test_nan_guard_skips_step(key):
     gen, params = make_realnvp_bg(key)
 
