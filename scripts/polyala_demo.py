@@ -32,9 +32,10 @@ import jax.numpy as jnp
 ART = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "artifacts")
 
 
-def _tag(augment, marginals, residue_ar=False, neutra=False):
+def _tag(augment, marginals, residue_ar=False, neutra=False, lv=False):
     return ("_aug" if augment else "") + ("_m" if marginals else "") + (
-        "_ar" if residue_ar else "") + ("_nt" if neutra else "")
+        "_ar" if residue_ar else "") + ("_nt" if neutra else "") + (
+        "_lv" if lv else "")
 
 
 def data_phase(n_res, n_samples=98304):
@@ -299,6 +300,55 @@ def train_phase(n_res, n_iter=24000, batch=1024, augment=False, marginals=False,
     print("final loss:", reporter.losses()[0][-20:].mean(), flush=True)
 
 
+def finetune_phase(n_res, n_iter=4000, batch=1024, lv_batch=1024, w_lv=0.2,
+                   augment=False, marginals=False, residue_ar=False,
+                   neutra=False):
+    """Log-variance fine-tune of a trained variant (ALA3 quality wall fix).
+
+    The log-weight forensics (polyala_logw_diag) showed the NLL-trained flow
+    is overdispersed: the ESS-killing right tail of log-weights is a smooth
+    +25-nat continuum of LOW-energy samples the flow underweights, plus a
+    clash left tail.  Minimizing Var[log w] over reparametrized model samples
+    attacks both tails directly while the NLL anchor keeps mode coverage
+    (reverse-KL annealing destroyed the ala2 flagship: 16.2% -> 0.07%).
+
+    Reads polyala{n}_ckpt{tag}, writes polyala{n}_ckpt{tag}_lv; evaluate
+    with ``eval ... --lv``.
+    """
+    import bgflow_tpu as bg
+    import optax
+    from bgflow_tpu.utils.checkpoint import restore_checkpoint
+
+    data, log_w = _training_set(n_res, augment, neutra, marginals, residue_ar)
+    gen = _make_gen(n_res, data, marginals, residue_ar)
+    base = os.path.join(
+        ART, f"polyala{n_res}_ckpt{_tag(augment, marginals, residue_ar, neutra)}")
+    params = restore_checkpoint(base)["params"]
+
+    import shutil
+
+    ckpt_dir = base + "_lv"
+    if os.path.isdir(ckpt_dir):
+        shutil.rmtree(ckpt_dir)
+    trainer = bg.KLTrainer(
+        gen, train_energy=False, train_logvar=True,
+        optimizer=optax.chain(
+            optax.clip_by_global_norm(50.0),
+            optax.adam(optax.cosine_decay_schedule(2e-4, n_iter, 1e-2)),
+        ),
+    )
+    # ramp the variance term in so the first steps stay near the NLL optimum
+    w_logvar = optax.linear_schedule(0.0, w_lv, max(1, n_iter // 4))
+    sampler = bg.DataSetSampler(jnp.asarray(data), log_weights=(
+        None if log_w is None else jnp.asarray(log_w)))
+    params, opt_state, reporter = trainer.train(
+        params, jax.random.PRNGKey(2), n_iter, data=sampler,
+        batchsize=batch, n_logvar_samples=lv_batch, w_logvar=w_logvar,
+        scan_chunk=500, progress_interval=1, checkpoint_dir=ckpt_dir,
+    )
+    print("final loss:", reporter.losses()[0][-20:].mean(), flush=True)
+
+
 def neutra_phase(n_res, n_samples=98304, n_chains=512, augment=False,
                  marginals=False, residue_ar=False, n_burnin=400,
                  tune_rounds=12):
@@ -363,14 +413,14 @@ def neutra_phase(n_res, n_samples=98304, n_chains=512, augment=False,
 
 
 def eval_phase(n_res, n_eval=50000, augment=False, marginals=False,
-               residue_ar=False, neutra=False):
+               residue_ar=False, neutra=False, lv=False):
     import bgflow_tpu as bg
     from bgflow_tpu.utils.checkpoint import restore_checkpoint
 
     data, _ = _training_set(n_res, augment, neutra, marginals, residue_ar)
     gen = _make_gen(n_res, data, marginals, residue_ar)
     ckpt = os.path.join(
-        ART, f"polyala{n_res}_ckpt{_tag(augment, marginals, residue_ar, neutra)}")
+        ART, f"polyala{n_res}_ckpt{_tag(augment, marginals, residue_ar, neutra, lv)}")
     params = restore_checkpoint(ckpt)["params"]
     out = gen.sample(params, jax.random.PRNGKey(7), n_eval, with_log_weights=True)
     lw = out.log_weights
@@ -380,7 +430,7 @@ def eval_phase(n_res, n_eval=50000, augment=False, marginals=False,
         "n_res": n_res,
         "n_eval": n_eval,
         "config": {"augment": augment, "learnable_marginals": marginals,
-                   "residue_ar": residue_ar, "neutra": neutra},
+                   "residue_ar": residue_ar, "neutra": neutra, "lv": lv},
         "ess": ess,
         "sampling_efficiency_pct": 100.0 * ess / n_eval,
         "logw_std": float(jnp.std(jnp.where(finite, lw, jnp.nan), where=finite)),
@@ -420,7 +470,7 @@ def eval_phase(n_res, n_eval=50000, augment=False, marginals=False,
         overlap[name] = round(float(np.minimum(hm, hd).sum() * np.diff(edges)[0]), 4)
     res["dihedral_overlap_model_vs_data"] = overlap
     path = os.path.join(
-        ART, f"polyala{n_res}{_tag(augment, marginals, residue_ar, neutra)}.json")
+        ART, f"polyala{n_res}{_tag(augment, marginals, residue_ar, neutra, lv)}.json")
     with open(path, "w") as fh:
         json.dump(res, fh, indent=1)
     print(json.dumps(res, indent=1), flush=True)
@@ -435,13 +485,15 @@ if __name__ == "__main__":
     marginals = "--marginals" in flags
     residue_ar = "--residue_ar" in flags
     neutra = "--neutra" in flags
+    lv = "--lv" in flags
     # scale overrides (--iters=N, --batch=N): the CPU ladder showed the
     # 24k-iter full schedule can over-sharpen on weighted data — shorter
     # schedules are a legitimate rung, not just a budget cut
     kv = dict(f.lstrip("-").split("=", 1) for f in flags if "=" in f)
-    unknown = set(kv) - {"iters", "batch"}
+    unknown = set(kv) - {"iters", "batch", "w_lv"}
     if unknown:
-        raise SystemExit(f"unknown flag(s): {sorted(unknown)} (expected --iters=N / --batch=N)")
+        raise SystemExit(
+            f"unknown flag(s): {sorted(unknown)} (expected --iters=N / --batch=N / --w_lv=F)")
     train_kw = {}
     if "iters" in kv:
         train_kw["n_iter"] = int(kv["iters"])
@@ -459,6 +511,12 @@ if __name__ == "__main__":
     if phase in ("train", "all"):
         train_phase(n_res, augment=augment, marginals=marginals,
                     residue_ar=residue_ar, neutra=neutra, **train_kw)
+    if phase == "finetune":
+        ft_kw = dict(train_kw)
+        if "w_lv" in kv:
+            ft_kw["w_lv"] = float(kv["w_lv"])
+        finetune_phase(n_res, augment=augment, marginals=marginals,
+                       residue_ar=residue_ar, neutra=neutra, **ft_kw)
     if phase in ("eval", "all"):
         eval_phase(n_res, augment=augment, marginals=marginals,
-                   residue_ar=residue_ar, neutra=neutra)
+                   residue_ar=residue_ar, neutra=neutra, lv=lv)
