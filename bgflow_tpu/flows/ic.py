@@ -501,7 +501,28 @@ class WhitenFlow(Flow):
     in the *inverse* direction (latent -> data is the forward of the BG).
     """
 
-    def __init__(self, x0, keepdims: Optional[int] = None, whiten_inverse: bool = True):
+    def __init__(
+        self,
+        x0,
+        keepdims: Optional[int] = None,
+        whiten_inverse: bool = True,
+        statistics: Optional[dict] = None,
+    ):
+        """``statistics``: a dict previously read from :attr:`statistics` —
+        restores the exact PCA constants instead of refitting them to ``x0``
+        (which may then be ``None``).  Data-derived constants are NOT part of
+        ``params``, so without this a checkpoint restored against regenerated
+        data can silently pair trained parameters with a rotated whitening
+        basis (eigenvector sign/order flips in near-degenerate subspaces)."""
+        if statistics is not None:
+            self.dim = int(statistics["dim"])
+            self.keepdims = int(statistics["keepdims"])
+            self.whiten_inverse = whiten_inverse
+            self.mean = jnp.asarray(statistics["mean"])
+            self.t_whiten = jnp.asarray(statistics["t_whiten"])
+            self.t_blacken = jnp.asarray(statistics["t_blacken"])
+            self.jacobian_xz = float(statistics["jacobian_xz"])
+            return
         x0 = np.asarray(x0)
         if keepdims is None:
             keepdims = x0.shape[1]
@@ -515,6 +536,18 @@ class WhitenFlow(Flow):
         self.t_whiten = jnp.asarray(t_whiten)
         self.t_blacken = jnp.asarray(t_blacken)
         self.jacobian_xz = float(-np.sum(np.log(std)))
+
+    @property
+    def statistics(self) -> dict:
+        """The data-derived constants as a checkpointable pytree."""
+        return {
+            "dim": np.int32(self.dim),
+            "keepdims": np.int32(self.keepdims),
+            "mean": np.asarray(self.mean),
+            "t_whiten": np.asarray(self.t_whiten),
+            "t_blacken": np.asarray(self.t_blacken),
+            "jacobian_xz": np.float64(self.jacobian_xz),
+        }
 
     def _whiten(self, x):
         z = jnp.dot(x - self.mean, self.t_whiten, preferred_element_type=x.dtype)
@@ -550,15 +583,26 @@ class MixedCoordinateTransformation(Flow):
         normalize_angles: bool = True,
         eps: float = 1e-7,
         use_pallas: bool = False,
+        whiten_statistics: Optional[dict] = None,
     ):
-        data = np.asarray(data)
-        n_data = data.shape[0]
-        fixed = data.reshape(n_data, -1, 3)[:, np.asarray(fixed_atoms)].reshape(n_data, -1)
-        self._whiten = WhitenFlow(fixed, keepdims=keepdims, whiten_inverse=False)
+        if whiten_statistics is not None:
+            self._whiten = WhitenFlow(
+                None, whiten_inverse=False, statistics=whiten_statistics
+            )
+        else:
+            data = np.asarray(data)
+            n_data = data.shape[0]
+            fixed = data.reshape(n_data, -1, 3)[:, np.asarray(fixed_atoms)].reshape(n_data, -1)
+            self._whiten = WhitenFlow(fixed, keepdims=keepdims, whiten_inverse=False)
         self._rel_ic = RelativeInternalCoordinateTransformation(
             z_matrix=z_matrix, fixed_atoms=fixed_atoms, normalize_angles=normalize_angles,
             eps=eps, use_pallas=use_pallas,
         )
+
+    @property
+    def whiten_statistics(self) -> dict:
+        """Checkpointable whitening constants (see ``WhitenFlow.statistics``)."""
+        return self._whiten.statistics
 
     @property
     def z_matrix(self):

@@ -192,6 +192,7 @@ def make_ala2_generator(
         (TORSIONS, (BONDS, ANGLES)),
         (FIXED, (BONDS, ANGLES, TORSIONS)),
     ),
+    statistics=None,
 ) -> BoltzmannGenerator:
     """Assemble the spline-coupling ala2 BG (notebook-parity architecture).
 
@@ -199,10 +200,16 @@ def make_ala2_generator(
     layers (``flows/marginal.py``) on BONDS/ANGLES/TORSIONS before the
     IC-domain map — corrects accumulated per-dof marginal mismatch that
     the couplings (which model cross-dependence) leave behind.
+
+    ``statistics``: a ``gen.data_statistics`` pytree from a previous build —
+    restores the data-derived constants (whitening PCA, marginal mu/sigma)
+    exactly instead of refitting them to ``data`` (which may then be None);
+    save it with the checkpoint so restores don't depend on the dataset.
     """
-    data = np.asarray(data)
     crd = MixedCoordinateTransformation(
-        data, ALA2_Z_MATRIX, ALA2_FIXED_ATOMS, keepdims=keepdims
+        None if statistics is not None else np.asarray(data),
+        ALA2_Z_MATRIX, ALA2_FIXED_ATOMS, keepdims=keepdims,
+        whiten_statistics=None if statistics is None else statistics["whiten"],
     )
     ff = build_ala2_forcefield(
         temperature=temperature, implicit_solvent=implicit_solvent
@@ -229,7 +236,20 @@ def make_ala2_generator(
     # and a tight marginal concentrates the spline's resolution where the
     # data lives (large scales waste bins and produce clashing geometries).
     marginals = InternalCoordinateMarginals(builder.current_dims, fixed_scale=fixed_scale)
-    if marginals_from == "forcefield":
+    if statistics is not None:
+        from ..distributions.normal import TruncatedNormalDistribution
+
+        marginals[BONDS] = TruncatedNormalDistribution(
+            mu=jnp.asarray(statistics["bond_mu"]),
+            sigma=jnp.asarray(statistics["bond_sigma"]),
+            lower_bound=1e-3, upper_bound=1.0,
+        )
+        marginals[ANGLES] = TruncatedNormalDistribution(
+            mu=jnp.asarray(statistics["angle_mu"]),
+            sigma=jnp.asarray(statistics["angle_sigma"]),
+            lower_bound=1e-4, upper_bound=1.0,
+        )
+    elif marginals_from == "forcefield":
         # harmonic-equilibrium marginals: robust when data is thin/biased
         marginals.inform_with_force_field(
             ff, crd, bond_lower=1e-3, bond_upper=1.0, angle_lower=1e-4
@@ -242,7 +262,15 @@ def make_ala2_generator(
         raise ValueError(f"marginals_from must be 'data' or 'forcefield', got {marginals_from!r}")
     builder.add_map_to_ic_domains(marginals)
     builder.add_map_to_cartesian(crd)
-    return builder.build_generator()
+    gen = builder.build_generator()
+    gen.data_statistics = statistics if statistics is not None else {
+        "whiten": crd.whiten_statistics,
+        "bond_mu": np.asarray(marginals[BONDS].mu),
+        "bond_sigma": np.asarray(marginals[BONDS].sigma),
+        "angle_mu": np.asarray(marginals[ANGLES].mu),
+        "angle_sigma": np.asarray(marginals[ANGLES].sigma),
+    }
+    return gen
 
 
 class Ala2Model(NamedTuple):

@@ -225,6 +225,7 @@ def make_polyala_generator(
         (TORSIONS, (BONDS, ANGLES)),
         (FIXED, (BONDS, ANGLES, TORSIONS)),
     ),
+    statistics=None,
 ) -> BoltzmannGenerator:
     """Spline-coupling BG for ACE-(ALA)_n-NME (ala2-flagship architecture,
     generic over chain length).
@@ -246,10 +247,11 @@ def make_polyala_generator(
         even/odd round per ``torsion_cross_couplings > 1`` mixes information
         backwards.
     """
-    data = np.asarray(data)
     z, fixed = polyala_z_matrix(n_res)
     crd = MixedCoordinateTransformation(
-        data, z, fixed, keepdims=keepdims, use_pallas=use_pallas_spline
+        None if statistics is not None else np.asarray(data),
+        z, fixed, keepdims=keepdims, use_pallas=use_pallas_spline,
+        whiten_statistics=None if statistics is None else statistics["whiten"],
     )
     ff = build_polyala_forcefield(n_res, temperature=temperature)
     target = LinLogCutEnergy(ff, high_energy=high_energy, max_energy=max_energy)
@@ -322,7 +324,23 @@ def make_polyala_generator(
                 what=(field,),
             )
     marginals = InternalCoordinateMarginals(builder.current_dims, fixed_scale=fixed_scale)
-    if marginals_from == "forcefield":
+    if statistics is not None:
+        # restore the exact data-derived marginal constants from a checkpoint
+        # instead of refitting them (regenerated data is statistically but
+        # not bit-identical; trained params pair with the ORIGINAL constants)
+        from ..distributions.normal import TruncatedNormalDistribution
+
+        marginals[BONDS] = TruncatedNormalDistribution(
+            mu=jnp.asarray(statistics["bond_mu"]),
+            sigma=jnp.asarray(statistics["bond_sigma"]),
+            lower_bound=1e-3, upper_bound=1.0,
+        )
+        marginals[ANGLES] = TruncatedNormalDistribution(
+            mu=jnp.asarray(statistics["angle_mu"]),
+            sigma=jnp.asarray(statistics["angle_sigma"]),
+            lower_bound=1e-4, upper_bound=1.0,
+        )
+    elif marginals_from == "forcefield":
         marginals.inform_with_force_field(
             ff, crd, bond_lower=1e-3, bond_upper=1.0, angle_lower=1e-4
         )
@@ -332,4 +350,15 @@ def make_polyala_generator(
         )
     builder.add_map_to_ic_domains(marginals)
     builder.add_map_to_cartesian(crd)
-    return builder.build_generator()
+    gen = builder.build_generator()
+    # every data-derived constant in the model, as one checkpointable pytree
+    # (save alongside params; pass back via ``statistics=`` to rebuild the
+    # generator without the original dataset)
+    gen.data_statistics = statistics if statistics is not None else {
+        "whiten": crd.whiten_statistics,
+        "bond_mu": np.asarray(marginals[BONDS].mu),
+        "bond_sigma": np.asarray(marginals[BONDS].sigma),
+        "angle_mu": np.asarray(marginals[ANGLES].mu),
+        "angle_sigma": np.asarray(marginals[ANGLES].sigma),
+    }
+    return gen

@@ -191,7 +191,8 @@ def _augmented_training_set(n_res, umbrella_mass=0.25, n_bins=16,
     return X[keep], LW[keep]
 
 
-def _make_gen(n_res, data, marginals, residue_ar=False, use_pallas=None):
+def _make_gen(n_res, data, marginals, residue_ar=False, use_pallas=None,
+              statistics=None):
     from bgflow_tpu.models.polyala import make_polyala_generator
 
     if use_pallas is None:
@@ -205,7 +206,20 @@ def _make_gen(n_res, data, marginals, residue_ar=False, use_pallas=None):
         torsion_cross_couplings=4, hidden=(256, 256), num_bins=16,
         learnable_marginals=marginals,
         torsion_scheme="residue_ar" if residue_ar else "even_odd",
+        statistics=statistics,
     )
+
+
+def _load_stats(ckpt_dir):
+    """Data-derived model constants saved next to a checkpoint (if any).
+    Older checkpoints predate this; None falls back to refitting from the
+    dataset (correct as long as the npz files were not regenerated)."""
+    d = ckpt_dir + "_stats"
+    if os.path.isdir(d):
+        from bgflow_tpu.utils.checkpoint import restore_checkpoint
+
+        return restore_checkpoint(d)
+    return None
 
 
 def _neutra_data_path(n_res, augment, marginals, residue_ar):
@@ -297,6 +311,11 @@ def train_phase(n_res, n_iter=24000, batch=1024, augment=False, marginals=False,
         batchsize=batch, scan_chunk=1000, progress_interval=1,
         checkpoint_dir=ckpt_dir,
     )
+    from bgflow_tpu.utils.checkpoint import save_checkpoint
+
+    if os.path.isdir(ckpt_dir + "_stats"):
+        shutil.rmtree(ckpt_dir + "_stats")
+    save_checkpoint(ckpt_dir + "_stats", 0, gen.data_statistics)
     print("final loss:", reporter.losses()[0][-20:].mean(), flush=True)
 
 
@@ -320,16 +339,18 @@ def finetune_phase(n_res, n_iter=4000, batch=1024, lv_batch=1024, w_lv=0.2,
     from bgflow_tpu.utils.checkpoint import restore_checkpoint
 
     data, log_w = _training_set(n_res, augment, neutra, marginals, residue_ar)
-    gen = _make_gen(n_res, data, marginals, residue_ar)
     base = os.path.join(
         ART, f"polyala{n_res}_ckpt{_tag(augment, marginals, residue_ar, neutra)}")
+    gen = _make_gen(n_res, data, marginals, residue_ar,
+                    statistics=_load_stats(base))
     params = restore_checkpoint(base)["params"]
 
     import shutil
 
     ckpt_dir = base + "_lv"
-    if os.path.isdir(ckpt_dir):
-        shutil.rmtree(ckpt_dir)
+    for d in (ckpt_dir, ckpt_dir + "_stats"):
+        if os.path.isdir(d):
+            shutil.rmtree(d)
     trainer = bg.KLTrainer(
         gen, train_energy=False, train_logvar=True,
         optimizer=optax.chain(
@@ -346,6 +367,9 @@ def finetune_phase(n_res, n_iter=4000, batch=1024, lv_batch=1024, w_lv=0.2,
         batchsize=batch, n_logvar_samples=lv_batch, w_logvar=w_logvar,
         scan_chunk=500, progress_interval=1, checkpoint_dir=ckpt_dir,
     )
+    from bgflow_tpu.utils.checkpoint import save_checkpoint
+
+    save_checkpoint(ckpt_dir + "_stats", 0, gen.data_statistics)
     print("final loss:", reporter.losses()[0][-20:].mean(), flush=True)
 
 
@@ -371,8 +395,9 @@ def neutra_phase(n_res, n_samples=98304, n_chains=512, augment=False,
     # reconstruction kernel carries a custom_vjp that replays the XLA path
     # (flows/ic.py, test_pallas_reconstruction_gradient_matches_xla), so the
     # default backend-appropriate kernel choice is fine here
-    gen = _make_gen(n_res, data, marginals, residue_ar)
     ckpt = os.path.join(ART, f"polyala{n_res}_ckpt{_tag(augment, marginals, residue_ar)}")
+    gen = _make_gen(n_res, data, marginals, residue_ar,
+                    statistics=_load_stats(ckpt))
     params = restore_checkpoint(ckpt)["params"]
 
     # chain starts: spread across the LOW-ENERGY half of the ensemble — a
@@ -418,9 +443,10 @@ def eval_phase(n_res, n_eval=50000, augment=False, marginals=False,
     from bgflow_tpu.utils.checkpoint import restore_checkpoint
 
     data, _ = _training_set(n_res, augment, neutra, marginals, residue_ar)
-    gen = _make_gen(n_res, data, marginals, residue_ar)
     ckpt = os.path.join(
         ART, f"polyala{n_res}_ckpt{_tag(augment, marginals, residue_ar, neutra, lv)}")
+    gen = _make_gen(n_res, data, marginals, residue_ar,
+                    statistics=_load_stats(ckpt))
     params = restore_checkpoint(ckpt)["params"]
     out = gen.sample(params, jax.random.PRNGKey(7), n_eval, with_log_weights=True)
     lw = out.log_weights

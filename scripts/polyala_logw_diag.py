@@ -38,7 +38,7 @@ def ess(lw):
 
 def main():
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
-    from polyala_demo import _make_gen, _tag, _training_set
+    from polyala_demo import _load_stats, _make_gen, _tag, _training_set
 
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
     flags = {a for a in sys.argv[1:] if a.startswith("--")}
@@ -54,9 +54,10 @@ def main():
     from bgflow_tpu.utils.checkpoint import restore_checkpoint
 
     data, _ = _training_set(n_res, augment, neutra, marginals, residue_ar)
-    gen = _make_gen(n_res, data, marginals, residue_ar)
     tag = _tag(augment, marginals, residue_ar, neutra)
     ckpt = os.path.join(ART, f"polyala{n_res}_ckpt{tag}")
+    gen = _make_gen(n_res, data, marginals, residue_ar,
+                    statistics=_load_stats(ckpt))
     params = restore_checkpoint(ckpt)["params"]
     ff = build_polyala_forcefield(n_res)
 

@@ -115,6 +115,38 @@ def test_polyala_generator_end_to_end(key):
     assert_close(nll_ar, out_ar.energy, 5e-3)
 
 
+def test_polyala_statistics_roundtrip(key):
+    """The generator's data-derived constants (whitening PCA + IC marginal
+    mu/sigma) are exposed as a checkpointable pytree; rebuilding from that
+    pytree WITHOUT the dataset reproduces the model exactly.  Guards against
+    pairing a restored checkpoint with refit constants from regenerated data
+    (eigenvector sign/order flips change the latent basis silently)."""
+    from bgflow_tpu.models.polyala import make_polyala_generator
+
+    n_res = 2
+    # synthetic but valid frames: jittered reference geometry
+    from bgflow_tpu.energies.peptide import polyala_reference_xyz
+
+    ref = jnp.asarray(polyala_reference_xyz(n_res), jnp.float32).reshape(1, -1)
+    data = ref + 0.01 * jax.random.normal(key, (256, ref.shape[-1]))
+    gen = make_polyala_generator(
+        n_res, data, hidden=(16,), num_bins=4, marginals_from="data"
+    )
+    stats = gen.data_statistics
+    # simulate a fresh session with REGENERATED (different) data: only the
+    # stats pytree is carried over
+    stats = jax.tree_util.tree_map(np.asarray, stats)  # checkpoint round-trip
+    gen2 = make_polyala_generator(
+        n_res, None, hidden=(16,), num_bins=4, marginals_from="data",
+        statistics=stats,
+    )
+    params = gen.init(jax.random.PRNGKey(1))
+    out = gen.sample(params, jax.random.PRNGKey(2), 64, with_log_weights=True)
+    out2 = gen2.sample(params, jax.random.PRNGKey(2), 64, with_log_weights=True)
+    assert_close(out.xs[0], out2.xs[0], 1e-6)
+    assert_close(out.log_weights, out2.log_weights, 1e-5)
+
+
 @pytest.mark.slow
 def test_polyala_all_rung_mbar_weights(key):
     """return_all_rungs: MBAR weights unbias the whole ladder to T=1 —
