@@ -72,6 +72,13 @@ class KLTrainer:
         ESS (``ESS ~ n / E[w^2]``, controlled by ``Var[log w]``).  Use as a
         fine-tune term with an NLL anchor: like reverse KL it is blind to
         modes the model has already dropped.
+    logvar_huber : Huber scale (nats) for the log-variance deviations.  Raw
+        squared deviations are catastrophically heavy-tailed on molecular
+        targets (one clipped-clash sample sits ~1e3 nats below the mean, so
+        its squared term — and gradient — dwarfs the batch and destroys the
+        model; observed as mode collapse on ALA3).  Deviations beyond the
+        scale contribute linearly, bounding every sample's gradient by
+        ``2 * logvar_huber * d(log w)/d(theta)``.  None = pure variance.
     custom_loss : optional ``fn(params, key) -> scalar`` added with weight
         ``w_custom``.
     """
@@ -83,6 +90,7 @@ class KLTrainer:
         train_likelihood: bool = True,
         train_energy: bool = True,
         train_logvar: bool = False,
+        logvar_huber: Optional[float] = 10.0,
         custom_loss: Optional[Callable] = None,
     ):
         self.bg = bg
@@ -90,6 +98,7 @@ class KLTrainer:
         self.train_likelihood = train_likelihood
         self.train_energy = train_energy
         self.train_logvar = train_logvar
+        self.logvar_huber = logvar_huber
         self.custom_loss = custom_loss
         self._step_cache = {}
 
@@ -131,7 +140,15 @@ class KLTrainer:
             n_f = jnp.maximum(jnp.sum(finite), 1)
             lwc = jnp.where(finite, lw, 0.0)
             mean = jnp.sum(lwc) / n_f
-            lv = jnp.sum(jnp.where(finite, (lwc - mean) ** 2, 0.0)) / n_f
+            dev = lwc - mean
+            if self.logvar_huber is not None:
+                d = self.logvar_huber
+                sq = jnp.where(
+                    jnp.abs(dev) <= d, dev**2, 2.0 * d * jnp.abs(dev) - d * d
+                )
+            else:
+                sq = dev**2
+            lv = jnp.sum(jnp.where(finite, sq, 0.0)) / n_f
             metrics["logvar"] = lv
             total = total + w_logvar * lv
             wsum += w_logvar

@@ -319,7 +319,7 @@ def train_phase(n_res, n_iter=24000, batch=1024, augment=False, marginals=False,
     print("final loss:", reporter.losses()[0][-20:].mean(), flush=True)
 
 
-def finetune_phase(n_res, n_iter=4000, batch=1024, lv_batch=1024, w_lv=0.2,
+def finetune_phase(n_res, n_iter=4000, batch=1024, lv_batch=1024, w_lv=0.02,
                    augment=False, marginals=False, residue_ar=False,
                    neutra=False):
     """Log-variance fine-tune of a trained variant (ALA3 quality wall fix).
@@ -355,7 +355,7 @@ def finetune_phase(n_res, n_iter=4000, batch=1024, lv_batch=1024, w_lv=0.2,
         gen, train_energy=False, train_logvar=True,
         optimizer=optax.chain(
             optax.clip_by_global_norm(50.0),
-            optax.adam(optax.cosine_decay_schedule(2e-4, n_iter, 1e-2)),
+            optax.adam(optax.cosine_decay_schedule(1e-4, n_iter, 1e-2)),
         ),
     )
     # ramp the variance term in so the first steps stay near the NLL optimum
