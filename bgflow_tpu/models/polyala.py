@@ -45,7 +45,7 @@ def generate_polyala_data_exact(
     n_res: int,
     n_samples: int = 16384,
     n_ladders: int = 64,
-    temperatures=(1.0, 1.5, 2.25, 3.375),
+    temperatures=tuple(1.15**i for i in range(8)),
     step_size: float = 2e-3,
     n_leapfrog: int = 10,
     n_burnin: int = 400,
@@ -54,6 +54,7 @@ def generate_polyala_data_exact(
     align: bool = True,
     reference_xyz: Optional[np.ndarray] = None,
     return_all_rungs: bool = False,
+    scan_chunk: int = 128,
     dtype=jnp.float32,
 ):
     """Exact-Boltzmann poly-alanine data: HMC + replica exchange.
@@ -73,7 +74,22 @@ def generate_polyala_data_exact(
     4e-3 gives only ~4% acceptance at ALA3 (126 dof) — chains freeze at
     the start structure and the "data" is not an equilibrated ensemble
     (this exact failure produced logw_std ~100-200 models).  The 2e-3
-    default accepts ~70% at ALA3; re-measure when changing chain length."""
+    default accepts ~70% at ALA3; re-measure when changing chain length.
+
+    Ladder spacing must also shrink with dimension (exchange acceptance
+    ~ exp(-D/2 * (dT/T)^2 / 2) collapses beyond 1 + sqrt(2/D) spacing —
+    the same rule ``scripts/ala2_science.py::gen_data`` documents for 60
+    dof).  Measured at ALA3 (126 dof): the round-2 default (1.0, 1.5,
+    2.25, 3.375) swaps at 2.8% per attempt — the cold rung is effectively
+    an isolated, kinetically trapped HMC chain — while the 1.15x 8-rung
+    geometric ladder swaps at 44%.  That trapped "exact data" was the root
+    cause of the ALA3 quality wall (logw_std 80-200 models that no amount
+    of training fixed).
+
+    The sampling loop runs in ``scan_chunk``-iteration ``lax.scan`` blocks
+    on device; the host only receives one (chunk, chains, D) block per
+    dispatch (the per-iteration host round-trip dominated wall-clock on a
+    tunneled accelerator)."""
     from ..ops.geometry import kabsch_align
     from ..parallel.tempering import ReplicaExchangeStep
     from ..samplers.iterative import SamplerState
@@ -99,32 +115,47 @@ def generate_polyala_data_exact(
     )
     rex = ReplicaExchangeStep(ff, temps)
 
-    @jax.jit
     def one_iteration(state, key):
         k1, k2 = jax.random.split(key)
         state = hmc.step(state, k1)
         return rex.step(state, k2)
+
+    @jax.jit
+    def burn_chunk(state, key):
+        def body(s, sub):
+            return one_iteration(s, sub), None
+
+        return jax.lax.scan(body, state, jax.random.split(key, scan_chunk))[0]
+
+    @jax.jit
+    def collect_chunk(state, key):
+        def body(s, sub):
+            s = one_iteration(s, sub)
+            out = (s.samples[0], s.energies) if return_all_rungs else (
+                s.samples[0][0::k], s.energies[0::k])
+            return s, out
+
+        return jax.lax.scan(body, state, jax.random.split(key, scan_chunk))
 
     state = SamplerState(
         samples=(x0,),
         energies=ff.energy(x0),
         step_count=jnp.zeros((), dtype=jnp.int32),
     )
-    for _ in range(n_burnin):
+    for _ in range(-(-n_burnin // scan_chunk)):
         key, sub = jax.random.split(key)
-        state = one_iteration(state, sub)
+        state = burn_chunk(state, sub)
     n_iter = -(-n_samples // n_ladders)
     collected = []
     collected_u = []
-    for _ in range(n_iter):
+    for _ in range(-(-n_iter // scan_chunk)):
         key, sub = jax.random.split(key)
-        state = one_iteration(state, sub)
-        if return_all_rungs:
-            collected.append(np.asarray(state.samples[0]))
-            collected_u.append(np.asarray(state.energies))
-        else:
-            collected.append(np.asarray(state.samples[0][0::k]))
-    frames = np.concatenate(collected, axis=0)
+        state, (xs, us) = collect_chunk(state, sub)
+        collected.append(np.asarray(xs).reshape(-1, xs.shape[-1]))
+        collected_u.append(np.asarray(us).reshape(-1))
+    n_keep = n_iter * (n_ladders * k if return_all_rungs else n_ladders)
+    frames = np.concatenate(collected, axis=0)[:n_keep]
+    collected_u = [np.concatenate(collected_u)[:n_keep]]
     if not return_all_rungs:
         frames = frames[:n_samples]
 
