@@ -142,17 +142,27 @@ def generate_polyala_data_exact(
         energies=ff.energy(x0),
         step_count=jnp.zeros((), dtype=jnp.int32),
     )
+    import sys as _sys
+    import time as _time
+
+    _t0 = _time.time()
     for _ in range(-(-n_burnin // scan_chunk)):
         key, sub = jax.random.split(key)
         state = burn_chunk(state, sub)
+    jax.block_until_ready(state.energies)
+    print(f"polyala data: burn-in done in {_time.time()-_t0:.0f}s",
+          file=_sys.stderr, flush=True)
     n_iter = -(-n_samples // n_ladders)
     collected = []
     collected_u = []
-    for _ in range(-(-n_iter // scan_chunk)):
+    n_chunks = -(-n_iter // scan_chunk)
+    for i in range(n_chunks):
         key, sub = jax.random.split(key)
         state, (xs, us) = collect_chunk(state, sub)
         collected.append(np.asarray(xs).reshape(-1, xs.shape[-1]))
         collected_u.append(np.asarray(us).reshape(-1))
+        print(f"polyala data: chunk {i+1}/{n_chunks} at {_time.time()-_t0:.0f}s",
+              file=_sys.stderr, flush=True)
     n_keep = n_iter * (n_ladders * k if return_all_rungs else n_ladders)
     frames = np.concatenate(collected, axis=0)[:n_keep]
     collected_u = [np.concatenate(collected_u)[:n_keep]]
