@@ -61,9 +61,15 @@ def _remove_mean(x):
 
 
 def data_phase(n_samples=131072, n_ladders=128, seed=0,
-               temperatures=(1.0, 1.35, 1.8, 2.4),
-               step_size=1e-2, n_leapfrog=10, n_burnin=600, stride=5):
-    """Exact-Boltzmann LJ13 ensemble: HMC + replica exchange, cold rung kept."""
+               temperatures=tuple(1.2**i for i in range(6)),
+               step_size=1e-2, n_leapfrog=10, n_burnin=600, stride=5,
+               scan_chunk=128):
+    """Exact-Boltzmann LJ13 ensemble: HMC + replica exchange, cold rung kept.
+
+    Ladder spacing follows the 1 + sqrt(2/D) rule (39 dof -> <= 1.23x); the
+    loop runs in chunked lax.scan blocks — per-iteration host round-trips
+    dominate wall-clock on a tunneled accelerator (see
+    models/polyala.py::generate_polyala_data_exact)."""
     from bgflow_tpu.parallel.tempering import ReplicaExchangeStep
     from bgflow_tpu.samplers.iterative import SamplerState
     from bgflow_tpu.samplers.mcmc import HMCStep
@@ -79,37 +85,58 @@ def data_phase(n_samples=131072, n_ladders=128, seed=0,
     x0 = _remove_mean(x0)
 
     @jax.jit
-    def gd(x):
-        g = jax.grad(lambda xx: jnp.sum(lj.energy(xx)))(x)
-        g = jnp.clip(g, -50.0, 50.0)
-        return _remove_mean(x - 1e-3 * g)
+    def gd_block(x):
+        def body(xx, _):
+            g = jax.grad(lambda v: jnp.sum(lj.energy(v)))(xx)
+            g = jnp.clip(g, -50.0, 50.0)
+            return _remove_mean(xx - 1e-3 * g), None
 
-    for _ in range(2000):
-        x0 = gd(x0)
+        return jax.lax.scan(body, x, None, length=200)[0]
+
+    for _ in range(10):
+        x0 = gd_block(x0)
     print(f"minimized starts: <u> {float(lj.energy(x0).mean()):.1f} kT", flush=True)
 
     hmc = HMCStep(lj, step_size=step_size, n_leapfrog=n_leapfrog,
                   target_temperatures=temps_flat, n_steps=stride)
     rex = ReplicaExchangeStep(lj, temps)
 
-    @jax.jit
     def one_iteration(state, key):
         k1, k2 = jax.random.split(key)
         state = hmc.step(state, k1)
         return rex.step(state, k2)
 
+    @jax.jit
+    def burn_chunk(state, key):
+        def body(s, sub):
+            return one_iteration(s, sub), None
+
+        return jax.lax.scan(body, state, jax.random.split(key, scan_chunk))[0]
+
+    @jax.jit
+    def collect_chunk(state, key):
+        def body(s, sub):
+            s = one_iteration(s, sub)
+            return s, s.samples[0][0::k]  # cold rung
+
+        return jax.lax.scan(body, state, jax.random.split(key, scan_chunk))
+
     state = SamplerState(samples=(x0,), energies=lj.energy(x0),
                          step_count=jnp.zeros((), jnp.int32))
     t0 = time.time()
-    for _ in range(n_burnin):
+    for _ in range(-(-n_burnin // scan_chunk)):
         key, sub = jax.random.split(key)
-        state = one_iteration(state, sub)
+        state = burn_chunk(state, sub)
+    jax.block_until_ready(state.energies)
+    print(f"lj13 data: burn-in done in {time.time()-t0:.0f}s", flush=True)
     n_iter = -(-n_samples // n_ladders)
     frames = []
-    for _ in range(n_iter):
+    n_chunks = -(-n_iter // scan_chunk)
+    for i in range(n_chunks):
         key, sub = jax.random.split(key)
-        state = one_iteration(state, sub)
-        frames.append(np.asarray(state.samples[0][0::k]))  # cold rung
+        state, xs = collect_chunk(state, sub)
+        frames.append(np.asarray(xs).reshape(-1, DIM))
+        print(f"lj13 data: chunk {i+1}/{n_chunks} at {time.time()-t0:.0f}s", flush=True)
     data = np.concatenate(frames)[:n_samples]
     data = np.asarray(_remove_mean(jnp.asarray(data)))
     u = np.asarray(lj.energy(jnp.asarray(data)))
