@@ -157,6 +157,7 @@ def train(n_pretrain=6000, n_anneal=30000, seed=1, batch=1024):
         print(f"anneal {n_anneal - start} it in {time.time()-t0:.0f}s", flush=True)
 
     save_checkpoint(os.path.join(ART, "ala2_ckpt"), n_pretrain + n_anneal, params)
+    _save_stats(gen)
     print("saved params")
     return params
 
@@ -285,8 +286,30 @@ def train_augmented(n_pretrain=12000, n_anneal=0, seed=4, batch=1024,
     # umbrella frames, NLL-only) — must exceed every previously saved step
     # so evaluate()'s latest-step restore picks it up
     save_checkpoint(os.path.join(ART, "ala2_ckpt"), 2 * 10**6 + n_pretrain + n_anneal, params)
+    _save_stats(gen)
     print("saved params (augmented)")
     return params
+
+
+def _save_stats(gen):
+    """Persist the data-derived model constants next to the checkpoint so
+    evaluate() can rebuild the EXACT generator without the original npz
+    (whitening PCA + IC marginals are data-derived; a regenerated dataset
+    is statistically but not bit-identical)."""
+    import shutil
+    from bgflow_tpu.utils.checkpoint import save_checkpoint
+
+    d = os.path.join(ART, "ala2_ckpt_stats")
+    if os.path.isdir(d):
+        shutil.rmtree(d)
+    save_checkpoint(d, 0, gen.data_statistics)
+
+
+def _load_stats():
+    from bgflow_tpu.utils.checkpoint import restore_checkpoint
+
+    d = os.path.join(ART, "ala2_ckpt_stats")
+    return restore_checkpoint(d) if os.path.isdir(d) else None
 
 
 def _load_params(gen):
@@ -300,14 +323,18 @@ def evaluate(n_eval=100_000, seed=2):
     import bgflow_tpu as bg
     from bgflow_tpu.models.ala2 import make_ala2_generator
 
-    if os.path.exists(TRAIN_DATA_PATH):
+    stats = _load_stats()
+    if stats is not None:
+        data = None  # constants restored; dataset not needed
+    elif os.path.exists(TRAIN_DATA_PATH):
         # augmented run: generator must be rebuilt from the SAME dataset the
         # training used (PCA whitening + IC marginals are data-derived)
         data = np.load(TRAIN_DATA_PATH)["data"]
     else:
         data = np.load(DATA_PATH)["data"][:-8192]
     gen = make_ala2_generator(
-        data, hidden=(128, 128), num_bins=8, keepdims=9, use_pallas_spline=True
+        data, hidden=(128, 128), num_bins=8, keepdims=9, use_pallas_spline=True,
+        statistics=stats,
     )
     params = _load_params(gen)
     key = jax.random.PRNGKey(seed)
@@ -319,7 +346,7 @@ def evaluate(n_eval=100_000, seed=2):
     eff = ess / n_eval
     x = out.xs[0]
     phi, psi = phi_psi(x)
-    phi_d, _ = phi_psi(jnp.asarray(data))
+    phi_d = None if data is None else phi_psi(jnp.asarray(data))[0]
 
     # basin split at phi = 0.2 rad (between C7eq/alphaR at phi<0 and C7ax)
     def basin_stats(phi_arr, logw_arr=None):
@@ -338,7 +365,7 @@ def evaluate(n_eval=100_000, seed=2):
         "frac_nonfinite_logw": float(1.0 - jnp.mean(finite)),
         "phi_pos_frac_model": basin_stats(phi),
         "phi_pos_frac_model_reweighted": basin_stats(phi, logw),
-        "phi_pos_frac_data": basin_stats(phi_d),
+        "phi_pos_frac_data": None if phi_d is None else basin_stats(phi_d),
         "mean_energy_model_samples": float(jnp.mean(gen.target.energy(x[:20000]))),
     }
     # basin free-energy difference from reweighted BG samples (host f64);

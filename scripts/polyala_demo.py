@@ -32,10 +32,11 @@ import jax.numpy as jnp
 ART = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "artifacts")
 
 
-def _tag(augment, marginals, residue_ar=False, neutra=False, lv=False):
+def _tag(augment, marginals, residue_ar=False, neutra=False, lv=False,
+         cold=False):
     return ("_aug" if augment else "") + ("_m" if marginals else "") + (
         "_ar" if residue_ar else "") + ("_nt" if neutra else "") + (
-        "_lv" if lv else "")
+        "_lv" if lv else "") + ("_cold" if cold else "")
 
 
 def data_phase(n_res, n_samples=98304):
@@ -249,10 +250,24 @@ def _filter_frozen_chains(data, energies):
     return data[keep]
 
 
-def _training_set(n_res, augment, neutra, marginals=False, residue_ar=False):
+def _training_set(n_res, augment, neutra, marginals=False, residue_ar=False,
+                  cold=False):
     """The (data, log_weights) pair for a variant — deterministic, so eval
     can rebuild the exact generator (whitening/marginal statistics are
-    data-derived) without re-saving large arrays."""
+    data-derived) without re-saving large arrays.
+
+    ``cold``: keep only the T=1 rung, unweighted — the recipe the ala2
+    flagship's 10.7% efficiency came from (``ala2_science.py::gen_data``
+    returns the cold rung only).  MBAR-weighted all-rung NLL concentrates
+    the effective dataset (weight-ESS ~20% of frames) and the model
+    over-sharpens around the high-weight frames: NLL keeps improving while
+    reweighting ESS collapses (observed twice on ALA3: 24k-iter weighted
+    runs at 0.004-0.006% vs 4k-iter at 0.2%)."""
+    if cold:
+        blob = np.load(os.path.join(ART, f"polyala{n_res}_data.npz"))
+        data = blob["data"]
+        k = int(blob["n_rungs"]) if "n_rungs" in blob.files else 8
+        return data[np.arange(len(data)) % k == 0], None
     if neutra:
         # NeuTra-regenerated exact ensemble (uniform weights); optionally
         # still mixed with the umbrella augmentation frames
@@ -277,7 +292,7 @@ def _training_set(n_res, augment, neutra, marginals=False, residue_ar=False):
 
 
 def train_phase(n_res, n_iter=24000, batch=1024, augment=False, marginals=False,
-                residue_ar=False, neutra=False):
+                residue_ar=False, neutra=False, cold=False):
     import bgflow_tpu as bg
     import optax
 
@@ -288,11 +303,11 @@ def train_phase(n_res, n_iter=24000, batch=1024, augment=False, marginals=False,
     import shutil
 
     ckpt_dir = os.path.join(
-        ART, f"polyala{n_res}_ckpt{_tag(augment, marginals, residue_ar, neutra)}")
+        ART, f"polyala{n_res}_ckpt{_tag(augment, marginals, residue_ar, neutra, cold=cold)}")
     if os.path.isdir(ckpt_dir):
         shutil.rmtree(ckpt_dir)
 
-    data, log_w = _training_set(n_res, augment, neutra, marginals, residue_ar)
+    data, log_w = _training_set(n_res, augment, neutra, marginals, residue_ar, cold=cold)
     if augment and not neutra:
         np.savez_compressed(
             os.path.join(ART, f"polyala{n_res}_train_data.npz"),
@@ -438,13 +453,13 @@ def neutra_phase(n_res, n_samples=98304, n_chains=512, augment=False,
 
 
 def eval_phase(n_res, n_eval=50000, augment=False, marginals=False,
-               residue_ar=False, neutra=False, lv=False):
+               residue_ar=False, neutra=False, lv=False, cold=False):
     import bgflow_tpu as bg
     from bgflow_tpu.utils.checkpoint import restore_checkpoint
 
-    data, _ = _training_set(n_res, augment, neutra, marginals, residue_ar)
+    data, _ = _training_set(n_res, augment, neutra, marginals, residue_ar, cold=cold)
     ckpt = os.path.join(
-        ART, f"polyala{n_res}_ckpt{_tag(augment, marginals, residue_ar, neutra, lv)}")
+        ART, f"polyala{n_res}_ckpt{_tag(augment, marginals, residue_ar, neutra, lv, cold)}")
     gen = _make_gen(n_res, data, marginals, residue_ar,
                     statistics=_load_stats(ckpt))
     params = restore_checkpoint(ckpt)["params"]
@@ -456,7 +471,8 @@ def eval_phase(n_res, n_eval=50000, augment=False, marginals=False,
         "n_res": n_res,
         "n_eval": n_eval,
         "config": {"augment": augment, "learnable_marginals": marginals,
-                   "residue_ar": residue_ar, "neutra": neutra, "lv": lv},
+                   "residue_ar": residue_ar, "neutra": neutra, "lv": lv,
+                   "cold": cold},
         "ess": ess,
         "sampling_efficiency_pct": 100.0 * ess / n_eval,
         "logw_std": float(jnp.std(jnp.where(finite, lw, jnp.nan), where=finite)),
@@ -496,7 +512,7 @@ def eval_phase(n_res, n_eval=50000, augment=False, marginals=False,
         overlap[name] = round(float(np.minimum(hm, hd).sum() * np.diff(edges)[0]), 4)
     res["dihedral_overlap_model_vs_data"] = overlap
     path = os.path.join(
-        ART, f"polyala{n_res}{_tag(augment, marginals, residue_ar, neutra, lv)}.json")
+        ART, f"polyala{n_res}{_tag(augment, marginals, residue_ar, neutra, lv, cold)}.json")
     with open(path, "w") as fh:
         json.dump(res, fh, indent=1)
     print(json.dumps(res, indent=1), flush=True)
@@ -512,6 +528,7 @@ if __name__ == "__main__":
     residue_ar = "--residue_ar" in flags
     neutra = "--neutra" in flags
     lv = "--lv" in flags
+    cold = "--cold" in flags
     # scale overrides (--iters=N, --batch=N): the CPU ladder showed the
     # 24k-iter full schedule can over-sharpen on weighted data — shorter
     # schedules are a legitimate rung, not just a budget cut
@@ -536,7 +553,7 @@ if __name__ == "__main__":
                      residue_ar=residue_ar)
     if phase in ("train", "all"):
         train_phase(n_res, augment=augment, marginals=marginals,
-                    residue_ar=residue_ar, neutra=neutra, **train_kw)
+                    residue_ar=residue_ar, neutra=neutra, cold=cold, **train_kw)
     if phase == "finetune":
         ft_kw = dict(train_kw)
         if "w_lv" in kv:
@@ -545,4 +562,4 @@ if __name__ == "__main__":
                        residue_ar=residue_ar, neutra=neutra, **ft_kw)
     if phase in ("eval", "all"):
         eval_phase(n_res, augment=augment, marginals=marginals,
-                   residue_ar=residue_ar, neutra=neutra, lv=lv)
+                   residue_ar=residue_ar, neutra=neutra, lv=lv, cold=cold)

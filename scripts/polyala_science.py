@@ -91,10 +91,11 @@ def main():
     marginals = "--marginals" in flags
     neutra = "--neutra" in flags
     lv = "--lv" in flags
+    cold = "--cold" in flags
     n_eval = int(kv.get("n", 200000))
 
-    data, _ = _training_set(n_res, augment, neutra, marginals)
-    tag = _tag(augment, marginals, False, neutra, lv)
+    data, _ = _training_set(n_res, augment, neutra, marginals, cold=cold)
+    tag = _tag(augment, marginals, False, neutra, lv, cold)
     ckpt = os.path.join(ART, f"polyala{n_res}_ckpt{tag}")
     gen = _make_gen(n_res, data, marginals, statistics=_load_stats(ckpt))
     params = restore_checkpoint(ckpt)["params"]
@@ -132,7 +133,7 @@ def main():
     res = {
         "n_res": n_res,
         "config": {"augment": augment, "learnable_marginals": marginals,
-                   "neutra": neutra, "lv": lv},
+                   "neutra": neutra, "lv": lv, "cold": cold},
         "n_eval": n_eval,
         "ess": ess,
         "sampling_efficiency_pct": 100.0 * ess / n_eval,
