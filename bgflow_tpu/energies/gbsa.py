@@ -21,7 +21,13 @@ import jax.numpy as jnp
 
 from .forcefield import COULOMB_CONSTANT
 
-__all__ = ["GBSATerms", "gbsa_energy", "born_radii", "DEFAULT_GB_RADII"]
+__all__ = [
+    "GBSATerms",
+    "gbsa_energy",
+    "born_radii",
+    "DEFAULT_GB_RADII",
+    "peptide_gbsa_terms",
+]
 
 # OBC II parameters
 _ALPHA, _BETA, _GAMMA = 1.0, 0.8, 4.85
@@ -113,6 +119,24 @@ def ala2_gbsa_terms() -> GBSATerms:
     for name, _, q in ALA2_ATOMS:
         element = name[0] if name[0] != "H" else "H"
         r, s = DEFAULT_GB_RADII[element]
+        radii.append(r)
+        scales.append(s)
+        charges.append(q)
+    return GBSATerms(
+        charges=np.asarray(charges), radii=np.asarray(radii), scales=np.asarray(scales)
+    )
+
+
+def peptide_gbsa_terms(atoms) -> GBSATerms:
+    """Element-based mbondi2 GBSA terms for any peptide topology.
+
+    ``atoms`` are the (name, amber_type, charge) triples that
+    ``energies/peptide.py::build_peptide_topology`` produces (the element is
+    the first letter of the atom name) — the generic-length version of
+    ``ala2_gbsa_terms``."""
+    radii, scales, charges = [], [], []
+    for name, _, q in atoms:
+        r, s = DEFAULT_GB_RADII[name[0]]
         radii.append(r)
         scales.append(s)
         charges.append(q)

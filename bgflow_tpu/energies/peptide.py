@@ -155,10 +155,19 @@ def build_forcefield_from_topology(
     cutoff: Optional[float] = None,
     box=None,
     cell_capacity: int = 32,
+    implicit_solvent: bool = False,
 ) -> ClassicalForceField:
     """Assemble a ClassicalForceField from (atoms, bonds) using the
     parm99/ff99SB type tables (same logic as ``build_ala2_forcefield``,
     generalized over the topology).
+
+    ``implicit_solvent`` adds the GBSA OBC-II term (``energies/gbsa.py``,
+    element-based mbondi2 radii) — the configuration the reference's
+    canonical ala2 workflow uses through OpenMM
+    (``notebooks/alanine_dipeptide_basics.py``: bgmol "implicit" system).
+    Gas-phase electrostatics make peptides beyond ala2 collapse into a deep
+    compact-basin trap (see artifacts/polyala3_logw_diag_r3b.json); solvated
+    chains stay in Ramachandran-like ensembles.
 
     With ``cutoff`` (nm) the nonbonded part switches from the dense (N, N)
     sum to the O(N) cell-list path (``energies/neighborlist.py``) — the
@@ -222,6 +231,11 @@ def build_forcefield_from_topology(
     )
     sigma = np.array([2.0 * _LJ_PARAMS[t][0] * 2 ** (-1 / 6) / 10.0 for t in types])
     epsilon = np.array([_LJ_PARAMS[t][1] * _KCAL for t in types])
+    gbsa = None
+    if implicit_solvent:
+        from .gbsa import peptide_gbsa_terms
+
+        gbsa = peptide_gbsa_terms(atoms)
     if cutoff is not None:
         from .neighborlist import (
             CutoffNonbondedEnergy,
@@ -239,7 +253,7 @@ def build_forcefield_from_topology(
         )
         return ClassicalForceField(
             n_atoms=n, bonded=bonded, nonbonded=None, nonbonded_cutoff=nb_cut,
-            temperature=temperature, two_event_dims=two_event_dims,
+            gbsa=gbsa, temperature=temperature, two_event_dims=two_event_dims,
         )
     scale_lj, scale_coul = exclusion_scales(n, bonds)
     nonbonded = NonbondedTerms(
@@ -248,18 +262,20 @@ def build_forcefield_from_topology(
     )
     return ClassicalForceField(
         n_atoms=n, bonded=bonded, nonbonded=nonbonded,
-        temperature=temperature, two_event_dims=two_event_dims,
+        gbsa=gbsa, temperature=temperature, two_event_dims=two_event_dims,
     )
 
 
 def build_polyala_forcefield(
     n_res: int, temperature: float = 300.0, two_event_dims: bool = False,
     cutoff: Optional[float] = None, box=None, cell_capacity: int = 32,
+    implicit_solvent: bool = False,
 ) -> ClassicalForceField:
     """ACE-(ALA)_n-NME force field (n_res=1 reproduces ala2).
 
     ``cutoff`` switches nonbonded to the O(N) cell-list path; the default
-    binning box scales with the chain's extended length."""
+    binning box scales with the chain's extended length.  ``implicit_solvent``
+    adds the GBSA OBC-II term (see ``build_forcefield_from_topology``)."""
     atoms, bonds = build_peptide_topology(["ACE"] + ["ALA"] * n_res + ["NME"])
     if cutoff is not None and box is None:
         half = max(2.5, 0.4 * n_res + 1.5)
@@ -267,6 +283,7 @@ def build_polyala_forcefield(
     return build_forcefield_from_topology(
         atoms, bonds, temperature=temperature, two_event_dims=two_event_dims,
         cutoff=cutoff, box=box, cell_capacity=cell_capacity,
+        implicit_solvent=implicit_solvent,
     )
 
 

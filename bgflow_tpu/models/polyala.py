@@ -56,6 +56,7 @@ def generate_polyala_data_exact(
     return_all_rungs: bool = False,
     scan_chunk: int = 128,
     dtype=jnp.float32,
+    implicit_solvent: bool = False,
 ):
     """Exact-Boltzmann poly-alanine data: HMC + replica exchange.
 
@@ -102,7 +103,7 @@ def generate_polyala_data_exact(
     temps_flat = jnp.tile(temps, n_ladders)
     masses = jnp.asarray(np.repeat(masses_amu, 3) / masses_amu.min(), dtype=dtype)
 
-    ff = build_polyala_forcefield(n_res, temperature=temperature)
+    ff = build_polyala_forcefield(n_res, temperature=temperature, implicit_solvent=implicit_solvent)
     ref = polyala_reference_xyz(n_res) if reference_xyz is None else np.asarray(reference_xyz)
     n_atoms = ref.shape[0]
     _, fixed = polyala_z_matrix(n_res)
@@ -216,13 +217,14 @@ def generate_polyala_data(
     align: bool = True,
     reference_xyz: Optional[np.ndarray] = None,
     dtype=jnp.float32,
+    implicit_solvent: bool = False,
 ):
     """On-device BAOAB MD of ACE-(ALA)_n-NME, thinned and Kabsch-aligned
     (alignment on the rigid block; see ``models/ala2.py`` for why aligned
     data is load-bearing for the whitened fixed-atom channel)."""
     from ..ops.geometry import kabsch_align
 
-    ff = build_polyala_forcefield(n_res, temperature=temperature)
+    ff = build_polyala_forcefield(n_res, temperature=temperature, implicit_solvent=implicit_solvent)
     ref = polyala_reference_xyz(n_res) if reference_xyz is None else np.asarray(reference_xyz)
     n_atoms = ref.shape[0]
     _, fixed = polyala_z_matrix(n_res)
@@ -258,6 +260,7 @@ def make_polyala_generator(
     torsion_cross_couplings: int = 2,
     torsion_scheme: str = "even_odd",
     learnable_marginals: bool = False,
+    implicit_solvent: bool = False,
     architecture=(
         (TORSIONS, FIXED),
         (FIXED, TORSIONS),
@@ -294,7 +297,7 @@ def make_polyala_generator(
         z, fixed, keepdims=keepdims, use_pallas=use_pallas_spline,
         whiten_statistics=None if statistics is None else statistics["whiten"],
     )
-    ff = build_polyala_forcefield(n_res, temperature=temperature)
+    ff = build_polyala_forcefield(n_res, temperature=temperature, implicit_solvent=implicit_solvent)
     target = LinLogCutEnergy(ff, high_energy=high_energy, max_energy=max_energy)
     shape_info = ShapeDictionary.from_coordinate_transform(crd)
     builder = BoltzmannGeneratorBuilder(shape_info, target=target)

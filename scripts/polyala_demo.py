@@ -30,6 +30,10 @@ import jax
 import jax.numpy as jnp
 
 ART = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "artifacts")
+# GBSA OBC-II implicit solvent for the whole pipeline (data/umbrella/model
+# target).  Toggled by --gbsa, which also redirects ART to artifacts/gbsa so
+# vacuum and solvated ensembles/checkpoints never mix.
+IMPLICIT_SOLVENT = False
 
 
 def _tag(augment, marginals, residue_ar=False, neutra=False, lv=False,
@@ -47,7 +51,7 @@ def data_phase(n_res, n_samples=98304):
     # unbiases them to T=1 (coverage augmentation at zero extra cost)
     data, log_w = generate_polyala_data_exact(
         key, n_res, n_samples=n_samples, n_ladders=64, n_burnin=400,
-        return_all_rungs=True,
+        return_all_rungs=True, implicit_solvent=IMPLICIT_SOLVENT,
     )
     np.savez(
         os.path.join(ART, f"polyala{n_res}_data.npz"),
@@ -81,7 +85,7 @@ def umbrella_phase(n_res, n_windows=16, n_iterations=500, k_umbrella=40.0, seed=
     n_atoms = len(atoms)
     masses_amu = PEPTIDE_MASSES(atoms)
     masses = jnp.asarray(np.repeat(masses_amu, 3) / masses_amu.min())
-    ff = build_polyala_forcefield(n_res)
+    ff = build_polyala_forcefield(n_res, implicit_solvent=IMPLICIT_SOLVENT)
     qa = np.asarray(quads)  # (S, 4)
 
     def cv(x):
@@ -208,6 +212,7 @@ def _make_gen(n_res, data, marginals, residue_ar=False, use_pallas=None,
         learnable_marginals=marginals,
         torsion_scheme="residue_ar" if residue_ar else "even_odd",
         statistics=statistics,
+        implicit_solvent=IMPLICIT_SOLVENT,
     )
 
 
@@ -420,7 +425,7 @@ def neutra_phase(n_res, n_samples=98304, n_chains=512, augment=False,
     # (zero acceptance through the latent preconditioner)
     from bgflow_tpu.energies.peptide import build_polyala_forcefield
 
-    ff0 = build_polyala_forcefield(n_res)
+    ff0 = build_polyala_forcefield(n_res, implicit_solvent=IMPLICIT_SOLVENT)
     cand = data[:: max(1, len(data) // (4 * n_chains))][: 4 * n_chains]
     u0 = np.asarray(ff0.energy(jnp.asarray(cand)))
     pool = cand[u0 <= np.median(u0)]
@@ -529,6 +534,10 @@ if __name__ == "__main__":
     neutra = "--neutra" in flags
     lv = "--lv" in flags
     cold = "--cold" in flags
+    if "--gbsa" in flags:
+        IMPLICIT_SOLVENT = True
+        ART = os.path.join(ART, "gbsa")
+        os.makedirs(ART, exist_ok=True)
     # scale overrides (--iters=N, --batch=N): the CPU ladder showed the
     # 24k-iter full schedule can over-sharpen on weighted data — shorter
     # schedules are a legitimate rung, not just a budget cut

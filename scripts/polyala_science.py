@@ -93,6 +93,16 @@ def main():
     lv = "--lv" in flags
     cold = "--cold" in flags
     n_eval = int(kv.get("n", 200000))
+    if "--gbsa" in flags:
+        # solvated pipeline: same switch + artifact redirection as
+        # polyala_demo --gbsa (vacuum and GBSA ensembles never mix)
+        import polyala_demo as pd
+
+        pd.IMPLICIT_SOLVENT = True
+        if not pd.ART.endswith("gbsa"):
+            pd.ART = os.path.join(pd.ART, "gbsa")
+        if not globals()["ART"].endswith("gbsa"):
+            globals()["ART"] = os.path.join(globals()["ART"], "gbsa")
 
     data, _ = _training_set(n_res, augment, neutra, marginals, cold=cold)
     tag = _tag(augment, marginals, False, neutra, lv, cold)

@@ -28,9 +28,17 @@ def main():
     n_res = int(args[0]) if args else 3
     skip = set(kv.get("skip", "").split(",")) - {""}
     n_iter = int(kv.get("iters", 24000))
+    gbsa = "--gbsa" in sys.argv[1:]
 
     import polyala_demo as pd
     from bgflow_tpu.utils.checkpoint import latest_step
+
+    global ART
+    if gbsa:
+        pd.IMPLICIT_SOLVENT = True
+        pd.ART = os.path.join(pd.ART, "gbsa")
+        ART = os.path.join(ART, "gbsa")
+        os.makedirs(ART, exist_ok=True)
 
     def stamp(msg):
         print(f"[r3 {time.strftime('%H:%M:%S')}] {msg}", flush=True)
@@ -59,7 +67,8 @@ def main():
         stamp("science phase")
         import polyala_science  # noqa: F401  (runs main() below)
 
-        sys.argv = ["polyala_science.py", str(n_res)]
+        sys.argv = ["polyala_science.py", str(n_res)] + (
+            ["--gbsa"] if gbsa else [])
         polyala_science.main()
         stamp(f"science done at {time.time()-t0:.0f}s")
 
