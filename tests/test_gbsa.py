@@ -127,3 +127,29 @@ def test_ala2_implicit_solvent_flagship_trains(key):
         losses.append(float(m["loss"]))
         assert not bool(m["skipped"])
     assert all(np.isfinite(l) for l in losses)
+
+
+def test_peptide_implicit_solvent_matches_ala2_terms():
+    """build_polyala_forcefield(1, implicit_solvent=True) == vacuum + the
+    ala2 GBSA term (peptide_gbsa_terms generalizes ala2_gbsa_terms)."""
+    from bgflow_tpu.energies.gbsa import ala2_gbsa_terms, peptide_gbsa_terms
+    from bgflow_tpu.energies.peptide import (
+        build_peptide_topology,
+        build_polyala_forcefield,
+        polyala_reference_xyz,
+    )
+
+    atoms, _ = build_peptide_topology(["ACE", "ALA", "NME"])
+    t_gen, t_ala2 = peptide_gbsa_terms(atoms), ala2_gbsa_terms()
+    np.testing.assert_allclose(t_gen.charges, t_ala2.charges)
+    np.testing.assert_allclose(t_gen.radii, t_ala2.radii)
+    np.testing.assert_allclose(t_gen.scales, t_ala2.scales)
+
+    ff_v = build_polyala_forcefield(1)
+    ff_s = build_polyala_forcefield(1, implicit_solvent=True)
+    x = jnp.asarray(polyala_reference_xyz(1), jnp.float32).reshape(1, -1)
+    x = x + 0.002 * jax.random.normal(jax.random.PRNGKey(3), x.shape)
+    expected = ff_v.energy(x) + gbsa_energy(x.reshape(1, -1, 3), t_ala2) / ff_v.kt
+    assert_close(ff_s.energy(x), expected, 1e-4)
+    g = jax.grad(lambda v: jnp.sum(ff_s.energy(v)))(x)
+    assert bool(jnp.isfinite(g).all())
