@@ -165,6 +165,34 @@ def measure_training(key, batch=1024, scan_steps=100):
     return scan_steps / (t_full - t_base)
 
 
+def measure_stream_bandwidth(n_mib=512, iters=16):
+    """Empirically achievable HBM bandwidth (GB/s): a saxpy sweep over an
+    array far larger than VMEM, on-device fori_loop, two-length differencing
+    (same latency-cancellation scheme as measure_sampling).  Each iteration
+    reads and writes the whole array: 8 B/element.  This is the *real*
+    denominator for the bandwidth roofline — datasheet peak is never
+    achievable by actual kernels (STREAM-style sweeps typically reach
+    70-90% of it)."""
+    n = n_mib * 1024 * 1024 // 4
+
+    @jax.jit
+    def run(x, m):
+        def body(i, x):
+            return x * jnp.float32(1.0000001) + jnp.float32(1e-9)
+
+        return jax.lax.fori_loop(0, m, body, x)
+
+    x = jnp.zeros((n,), jnp.float32)
+    float(run(x, jnp.int32(2))[0])  # compile + warm
+    t0 = time.perf_counter()
+    float(run(x, jnp.int32(2))[0])
+    t_base = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    float(run(x, jnp.int32(2 + iters))[0])
+    t_full = time.perf_counter() - t0
+    return iters * 8.0 * n / (t_full - t_base) / 1e9
+
+
 def main():
     key = jax.random.PRNGKey(0)
     extra = {"backend": jax.default_backend()}
@@ -187,7 +215,13 @@ def main():
     ca = rl.xla_cost_analysis(sample_fn, params, key)
     df = rl.dot_flops(sample_fn, params, key)
     flops = ca["flops"] if ca and "flops" in ca else df
-    bytes_total = ca.get("bytes_accessed") if ca else None
+    # HBM traffic: per-kernel materialization walk of the post-fusion HLO.
+    # cost_analysis 'bytes accessed' counts VMEM-resident fused operands and
+    # can exceed physical bandwidth (round 3 printed 147% of peak) — it is
+    # reported only as a labeled upper-bound diagnostic, never used for the
+    # utilization verdict.
+    hbm = rl.hbm_traffic_from_hlo(sample_fn, params, key)
+    bytes_total = hbm["hbm_bytes"] if hbm else None
     roof = rl.roofline(
         flops / n, (bytes_total / n) if bytes_total else None, spline_sps
     )
@@ -195,6 +229,24 @@ def main():
     roof["flops_source"] = (
         "xla_cost_analysis" if ca else "jaxpr_dot_general (matmul-only lower bound)"
     )
+    if hbm:
+        roof["bytes_source"] = (
+            f"hlo_kernel_materialization ({int(hbm['n_kernels'])} kernels; "
+            "slight over-estimate: assumes every kernel result round-trips HBM)"
+        )
+    if ca and "bytes_accessed" in ca:
+        roof["xla_bytes_accessed_per_item"] = round(ca["bytes_accessed"] / n, 1)
+        roof["xla_bytes_accessed_caveat"] = (
+            "per-op operand bytes incl. VMEM-resident fused traffic; "
+            "overcounts real HBM traffic, diagnostic only"
+        )
+    if ON_TPU:
+        stream_gbs = measure_stream_bandwidth()
+        roof["measured_stream_hbm_gbs"] = round(stream_gbs, 1)
+        if roof.get("achieved_hbm_gbs"):
+            roof["pct_of_stream_roof"] = round(
+                100.0 * roof["achieved_hbm_gbs"] / stream_gbs, 1
+            )
     extra["roofline"] = roof
 
     if ON_TPU:

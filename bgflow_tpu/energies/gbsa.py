@@ -26,6 +26,7 @@ __all__ = [
     "gbsa_energy",
     "born_radii",
     "DEFAULT_GB_RADII",
+    "gbsa_terms_from_topology",
     "peptide_gbsa_terms",
 ]
 
@@ -35,14 +36,21 @@ _DIELECTRIC_OFFSET = 0.009  # nm
 _PROBE_RADIUS = 0.14  # nm
 _ACE_COEF = 28.3919551  # kJ/mol/nm^2
 
-# mbondi2-style intrinsic radii (nm) and HCT screening factors per element
+# mbondi2 intrinsic radii (nm) and OBC screening factors per element
+# (Onufriev, Bashford & Case 2004, table as used by OpenMM's amber*_obc
+# forcefields).  mbondi2 is per-TYPE, not per-element: hydrogens bonded to
+# nitrogen get 0.13 nm while every other hydrogen gets 0.12 nm — that
+# override is applied from the bond graph in ``gbsa_terms_from_topology``.
 DEFAULT_GB_RADII = {
     "H": (0.12, 0.85),
     "C": (0.17, 0.72),
     "N": (0.155, 0.79),
     "O": (0.15, 0.85),
+    "F": (0.15, 0.88),
+    "P": (0.185, 0.86),
     "S": (0.18, 0.96),
 }
+_H_ON_N_RADIUS = 0.13  # nm (mbondi2: amide/amine hydrogens)
 
 
 class GBSATerms(NamedTuple):
@@ -111,35 +119,54 @@ def gbsa_energy(x, terms: GBSATerms, eps: float = 1e-7):
     return e_pol + jnp.sum(sa, axis=-1)
 
 
+def gbsa_terms_from_topology(atoms, bonds) -> GBSATerms:
+    """mbondi2 GBSA terms from an atom list + bond graph.
+
+    ``atoms`` are (name, amber_type, charge) triples (the element is the
+    first letter of the atom name — peptide topologies only use H/C/N/O/S);
+    ``bonds`` is an (M, 2) index array.  Real mbondi2 is per-type: a
+    hydrogen bonded to nitrogen gets 0.13 nm, every other hydrogen 0.12 nm
+    (matching OpenMM's amber99_obc radii the reference's ala2 workflow
+    uses).  Unmapped elements raise with a clear message rather than a bare
+    KeyError."""
+    elements = []
+    for name, _, _ in atoms:
+        el = name[0]
+        if el not in DEFAULT_GB_RADII:
+            raise ValueError(
+                f"no GB (mbondi2) radius for element {el!r} (atom {name!r}); "
+                f"known elements: {sorted(DEFAULT_GB_RADII)}"
+            )
+        elements.append(el)
+    neighbors = [[] for _ in atoms]
+    for i, j in np.asarray(bonds, dtype=np.int64):
+        neighbors[int(i)].append(int(j))
+        neighbors[int(j)].append(int(i))
+    radii, scales, charges = [], [], []
+    for idx, (name, _, q) in enumerate(atoms):
+        r, s = DEFAULT_GB_RADII[elements[idx]]
+        if elements[idx] == "H" and any(elements[j] == "N" for j in neighbors[idx]):
+            r = _H_ON_N_RADIUS
+        radii.append(r)
+        scales.append(s)
+        charges.append(q)
+    return GBSATerms(
+        charges=np.asarray(charges), radii=np.asarray(radii), scales=np.asarray(scales)
+    )
+
+
 def ala2_gbsa_terms() -> GBSATerms:
-    """GBSA parameters for the 22-atom ala2 system (element-based mbondi2)."""
-    from .ala2 import ALA2_ATOMS
+    """mbondi2 GBSA parameters for the 22-atom ala2 system."""
+    from .ala2 import ALA2_ATOMS, ALA2_BONDS
 
-    radii, scales, charges = [], [], []
-    for name, _, q in ALA2_ATOMS:
-        element = name[0] if name[0] != "H" else "H"
-        r, s = DEFAULT_GB_RADII[element]
-        radii.append(r)
-        scales.append(s)
-        charges.append(q)
-    return GBSATerms(
-        charges=np.asarray(charges), radii=np.asarray(radii), scales=np.asarray(scales)
-    )
+    return gbsa_terms_from_topology(ALA2_ATOMS, ALA2_BONDS)
 
 
-def peptide_gbsa_terms(atoms) -> GBSATerms:
-    """Element-based mbondi2 GBSA terms for any peptide topology.
+def peptide_gbsa_terms(atoms, bonds) -> GBSATerms:
+    """mbondi2 GBSA terms for any peptide topology.
 
-    ``atoms`` are the (name, amber_type, charge) triples that
-    ``energies/peptide.py::build_peptide_topology`` produces (the element is
-    the first letter of the atom name) — the generic-length version of
-    ``ala2_gbsa_terms``."""
-    radii, scales, charges = [], [], []
-    for name, _, q in atoms:
-        r, s = DEFAULT_GB_RADII[name[0]]
-        radii.append(r)
-        scales.append(s)
-        charges.append(q)
-    return GBSATerms(
-        charges=np.asarray(charges), radii=np.asarray(radii), scales=np.asarray(scales)
-    )
+    ``atoms``/``bonds`` are what ``energies/peptide.py::build_peptide_topology``
+    produces — the generic-length version of ``ala2_gbsa_terms``.  The bond
+    graph is required because mbondi2 assigns N-bonded hydrogens a larger
+    0.13 nm radius."""
+    return gbsa_terms_from_topology(atoms, bonds)

@@ -162,8 +162,8 @@ def build_forcefield_from_topology(
     generalized over the topology).
 
     ``implicit_solvent`` adds the GBSA OBC-II term (``energies/gbsa.py``,
-    element-based mbondi2 radii) — the configuration the reference's
-    canonical ala2 workflow uses through OpenMM
+    per-type mbondi2 radii from the bond graph) — the configuration the
+    reference's canonical ala2 workflow uses through OpenMM
     (``notebooks/alanine_dipeptide_basics.py``: bgmol "implicit" system).
     Gas-phase electrostatics make peptides beyond ala2 collapse into a deep
     compact-basin trap (see artifacts/polyala3_logw_diag_r3b.json); solvated
@@ -174,7 +174,9 @@ def build_forcefield_from_topology(
     scale-up configuration for chains beyond a few hundred atoms.  ``box``
     is the (lower, upper) binning window; default ±2.5 nm around the origin
     (open boundaries: atoms outside are clamped into the binning box, which
-    never drops in-cutoff pairs)."""
+    never drops in-cutoff pairs).  The GBSA term always stays dense O(N^2)
+    and non-periodic (Born radii need every pair); combining it with an
+    explicit periodic ``box`` raises."""
     types = [t for _, t, _ in atoms]
     charges = np.array([q for _, _, q in atoms])
     n = len(types)
@@ -235,7 +237,13 @@ def build_forcefield_from_topology(
     if implicit_solvent:
         from .gbsa import peptide_gbsa_terms
 
-        gbsa = peptide_gbsa_terms(atoms)
+        if box is not None:
+            raise ValueError(
+                "implicit_solvent uses raw (non-minimum-image) distances and "
+                "cannot be combined with a periodic box; drop `box` or the "
+                "GBSA term"
+            )
+        gbsa = peptide_gbsa_terms(atoms, bonds)
     if cutoff is not None:
         from .neighborlist import (
             CutoffNonbondedEnergy,

@@ -219,13 +219,40 @@ def _make_gen(n_res, data, marginals, residue_ar=False, use_pallas=None,
 def _load_stats(ckpt_dir):
     """Data-derived model constants saved next to a checkpoint (if any).
     Older checkpoints predate this; None falls back to refitting from the
-    dataset (correct as long as the npz files were not regenerated)."""
+    dataset (correct as long as the npz files were not regenerated).
+
+    A meta sidecar records which solvent model the checkpoint was trained
+    against; restoring it under a mismatched IMPLICIT_SOLVENT global fails
+    loudly instead of silently evaluating a GBSA checkpoint on the vacuum
+    target (or vice versa)."""
+    meta_path = ckpt_dir + "_stats_meta.json"
+    if os.path.exists(meta_path):
+        with open(meta_path) as fh:
+            meta = json.load(fh)
+        if bool(meta.get("implicit_solvent")) != bool(IMPLICIT_SOLVENT):
+            raise RuntimeError(
+                f"checkpoint {ckpt_dir} was trained with implicit_solvent="
+                f"{meta.get('implicit_solvent')} but the pipeline is running "
+                f"with IMPLICIT_SOLVENT={IMPLICIT_SOLVENT}"
+            )
     d = ckpt_dir + "_stats"
     if os.path.isdir(d):
         from bgflow_tpu.utils.checkpoint import restore_checkpoint
 
         return restore_checkpoint(d)
     return None
+
+
+def _save_stats(ckpt_dir, statistics):
+    import shutil
+
+    from bgflow_tpu.utils.checkpoint import save_checkpoint
+
+    if os.path.isdir(ckpt_dir + "_stats"):
+        shutil.rmtree(ckpt_dir + "_stats")
+    save_checkpoint(ckpt_dir + "_stats", 0, statistics)
+    with open(ckpt_dir + "_stats_meta.json", "w") as fh:
+        json.dump({"implicit_solvent": bool(IMPLICIT_SOLVENT)}, fh)
 
 
 def _neutra_data_path(n_res, augment, marginals, residue_ar):
@@ -331,11 +358,7 @@ def train_phase(n_res, n_iter=24000, batch=1024, augment=False, marginals=False,
         batchsize=batch, scan_chunk=1000, progress_interval=1,
         checkpoint_dir=ckpt_dir,
     )
-    from bgflow_tpu.utils.checkpoint import save_checkpoint
-
-    if os.path.isdir(ckpt_dir + "_stats"):
-        shutil.rmtree(ckpt_dir + "_stats")
-    save_checkpoint(ckpt_dir + "_stats", 0, gen.data_statistics)
+    _save_stats(ckpt_dir, gen.data_statistics)
     print("final loss:", reporter.losses()[0][-20:].mean(), flush=True)
 
 
@@ -387,9 +410,7 @@ def finetune_phase(n_res, n_iter=4000, batch=1024, lv_batch=1024, w_lv=0.02,
         batchsize=batch, n_logvar_samples=lv_batch, w_logvar=w_logvar,
         scan_chunk=500, progress_interval=1, checkpoint_dir=ckpt_dir,
     )
-    from bgflow_tpu.utils.checkpoint import save_checkpoint
-
-    save_checkpoint(ckpt_dir + "_stats", 0, gen.data_statistics)
+    _save_stats(ckpt_dir, gen.data_statistics)
     print("final loss:", reporter.losses()[0][-20:].mean(), flush=True)
 
 

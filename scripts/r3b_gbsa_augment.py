@@ -29,6 +29,7 @@ def main():
 
     pd.IMPLICIT_SOLVENT = True
     pd.ART = os.path.join(pd.ART, "gbsa")
+    os.makedirs(pd.ART, exist_ok=True)
 
     def stamp(msg):
         print(f"[r3b {time.strftime('%H:%M:%S')}] {msg}", flush=True)

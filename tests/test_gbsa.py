@@ -83,6 +83,102 @@ def test_opposite_charges_screened_in_solvent():
     assert e_near - self_e > e_far - self_e
 
 
+def test_mbondi2_per_type_radii():
+    """Real mbondi2 is per-type: H bonded to N gets 0.13 nm, every other H
+    0.12 nm (the radii OpenMM's amber99_obc ala2 system assigns — the
+    reference's implicit-solvent configuration)."""
+    from bgflow_tpu.energies.ala2 import ALA2_ATOMS, ALA2_BONDS
+    from bgflow_tpu.energies.gbsa import gbsa_terms_from_topology
+
+    terms = gbsa_terms_from_topology(ALA2_ATOMS, ALA2_BONDS)
+    names = [name for name, _, _ in ALA2_ATOMS]
+    # the two amide hydrogens of ala2 are the atoms literally named "H"
+    for idx, name in enumerate(names):
+        if name == "H":
+            assert terms.radii[idx] == pytest.approx(0.13)
+        elif name.startswith("H"):
+            assert terms.radii[idx] == pytest.approx(0.12)
+    # exactly 2 amide hydrogens in ACE-ALA-NME
+    assert int(np.sum(terms.radii == 0.13)) == 2
+
+
+def test_unmapped_element_raises():
+    from bgflow_tpu.energies.gbsa import gbsa_terms_from_topology
+
+    with pytest.raises(ValueError, match="no GB .* radius"):
+        gbsa_terms_from_topology([("XX1", "XX", 0.0)], np.zeros((0, 2)))
+
+
+def test_obc2_independent_transcription():
+    """Pin gbsa_energy against an independent scalar transcription of the
+    OBC-II equations (Onufriev, Bashford & Case 2004: HCT descreening
+    integral eq. 9, tanh rescaling eq. 6, still-equation polarization, ACE
+    surface term) written in plain Python floats — a second, code-path-
+    independent derivation from the published formulas."""
+    import math
+
+    # 3 atoms at hand-picked positions/parameters (an N-H-O-like triangle)
+    pos = [(0.0, 0.0, 0.0), (0.10, 0.02, -0.01), (0.15, 0.25, 0.05)]
+    radii = [0.155, 0.13, 0.15]
+    scales = [0.79, 0.85, 0.85]
+    charges = [-0.4157, 0.2719, -0.5679]
+    off, alpha, beta, gamma = 0.009, 1.0, 0.8, 4.85
+
+    def dist(a, b):
+        return math.sqrt(sum((pa - pb) ** 2 for pa, pb in zip(a, b)))
+
+    born = []
+    for i in range(3):
+        rho_i = radii[i] - off
+        s = 0.0
+        for j in range(3):
+            if j == i:
+                continue
+            r = dist(pos[i], pos[j])
+            srj = scales[j] * (radii[j] - off)
+            if rho_i >= r + srj:
+                continue
+            L = max(abs(r - srj), rho_i)
+            U = r + srj
+            term = (
+                1.0 / L
+                - 1.0 / U
+                + r / 4.0 * (1.0 / U**2 - 1.0 / L**2)
+                + 1.0 / (2.0 * r) * math.log(L / U)
+                + srj**2 / (4.0 * r) * (1.0 / L**2 - 1.0 / U**2)
+            )
+            if rho_i < srj - r:
+                term += 2.0 * (1.0 / rho_i - 1.0 / L)
+            s += term
+        psi = 0.5 * s * rho_i
+        inv_b = 1.0 / rho_i - math.tanh(alpha * psi - beta * psi**2 + gamma * psi**3) / radii[i]
+        born.append(1.0 / inv_b)
+
+    pref = -0.5 * float(COULOMB_CONSTANT) * (1.0 - 1.0 / 78.5)
+    e_pol = 0.0
+    for i in range(3):
+        for j in range(3):
+            if i == j:
+                f = born[i]
+            else:
+                r2 = dist(pos[i], pos[j]) ** 2
+                bb = born[i] * born[j]
+                f = math.sqrt(r2 + bb * math.exp(-r2 / (4.0 * bb)))
+            e_pol += pref * charges[i] * charges[j] / f
+    e_np = sum(
+        28.3919551 * (radii[i] + 0.14) ** 2 * (radii[i] / born[i]) ** 6 for i in range(3)
+    )
+    expected = e_pol + e_np
+
+    terms = GBSATerms(
+        charges=np.asarray(charges), radii=np.asarray(radii), scales=np.asarray(scales)
+    )
+    x = jnp.asarray(pos, dtype=jnp.float64)[None]
+    b = born_radii(x, terms, eps=0.0)
+    np.testing.assert_allclose(np.asarray(b[0]), born, rtol=1e-10)
+    np.testing.assert_allclose(float(gbsa_energy(x, terms, eps=0.0)[0]), expected, rtol=1e-10)
+
+
 @pytest.mark.slow
 def test_ala2_with_implicit_solvent(key):
     ff_vac = build_ala2_forcefield()
@@ -139,8 +235,8 @@ def test_peptide_implicit_solvent_matches_ala2_terms():
         polyala_reference_xyz,
     )
 
-    atoms, _ = build_peptide_topology(["ACE", "ALA", "NME"])
-    t_gen, t_ala2 = peptide_gbsa_terms(atoms), ala2_gbsa_terms()
+    atoms, bonds = build_peptide_topology(["ACE", "ALA", "NME"])
+    t_gen, t_ala2 = peptide_gbsa_terms(atoms, bonds), ala2_gbsa_terms()
     np.testing.assert_allclose(t_gen.charges, t_ala2.charges)
     np.testing.assert_allclose(t_gen.radii, t_ala2.radii)
     np.testing.assert_allclose(t_gen.scales, t_ala2.scales)

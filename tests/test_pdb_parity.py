@@ -18,6 +18,8 @@ published parm99/ff99SB values, with per-term regression pins in
 """
 import os
 
+import pytest
+
 import numpy as np
 import jax.numpy as jnp
 
@@ -65,12 +67,27 @@ def test_bond_topology_matches_pdb_geometry():
                 assert d[i, j] > 0.17, (i, j, d[i, j])
 
 
-def test_forcefield_finite_at_external_geometry():
-    """The corrected parameter tables evaluate a finite, modest reduced
-    energy at the (independently generated) PDB conformation."""
+def test_forcefield_per_term_goldens_at_external_geometry():
+    """Per-term energies at the external PDB geometry match the values
+    independently computed from the published-parameter artifact
+    (tests/test_ff_artifact_parity.py derives these from
+    ``tests/data/parm99_ff99sb_ala2_extract.dat`` alone — not from the code
+    under test).  kJ/mol, float64."""
     _, _, xyz = parse_pdb(PDB)
     ff = build_ala2_forcefield()
+    x = jnp.asarray(xyz.reshape(1, -1, 3), jnp.float64)
+    golden = {
+        "bond": 15.998,
+        "angle": 11.850,
+        "torsion": 39.813,
+        "nonbonded": -128.627,
+    }
+    assert float(ff.bond_energy(x)[0]) == pytest.approx(golden["bond"], abs=2e-3)
+    assert float(ff.angle_energy(x)[0]) == pytest.approx(golden["angle"], abs=2e-3)
+    assert float(ff.torsion_energy(x)[0]) == pytest.approx(golden["torsion"], abs=2e-3)
+    assert float(ff.nonbonded_energy(x)[0]) == pytest.approx(
+        golden["nonbonded"], abs=2e-3
+    )
+    # reduced total = sum of terms / kT
     u = float(ff.energy(jnp.asarray(xyz.reshape(1, -1), jnp.float64))[0])
-    assert np.isfinite(u)
-    # a physical vacuum conformation sits within tens of kT of equilibrium
-    assert u < 100.0
+    assert u == pytest.approx(sum(golden.values()) / ff.kt, rel=1e-4)

@@ -69,3 +69,44 @@ def test_roofline_verdict():
     # auto-detect from the ambient environment)
     rep3 = rl.roofline(1e6, None, 1e6, chip="tpu-v99")
     assert "mfu_pct" not in rep3 and "achieved_tflops" in rep3
+
+
+def test_hbm_traffic_from_hlo_bounds():
+    """The kernel-materialization traffic estimate is >= the unavoidable
+    unique I/O (inputs read + output written once) and, unlike
+    cost_analysis 'bytes accessed', never counts operands of ops fused
+    INTO a kernel more than once per launch."""
+    w = jnp.zeros((128, 256), jnp.float32)
+    x = jnp.zeros((1024, 128), jnp.float32)
+
+    def f(x):
+        return jnp.tanh(x @ w) * 2.0 + 1.0
+
+    est = rl.hbm_traffic_from_hlo(f, x)
+    if est is None:
+        pytest.skip("backend exposes no compiled HLO text")
+    unique_io = x.size * 4 + w.size * 4 + 1024 * 256 * 4
+    assert est["hbm_bytes"] >= unique_io
+    # a handful of kernels, each touching at most all operands + result:
+    # the estimate stays within a small multiple of the unique I/O
+    assert est["hbm_bytes"] <= 6 * unique_io
+    assert est["n_kernels"] >= 1
+
+
+def test_hbm_traffic_elementwise_chain_fuses():
+    """A long elementwise chain must not scale traffic with chain length
+    (the round-3 failure mode of 'bytes accessed'): XLA fuses it into a
+    couple of kernels whose HBM traffic is ~in+out."""
+    x = jnp.zeros((1 << 16,), jnp.float32)
+
+    def f(x):
+        for _ in range(20):
+            x = jnp.tanh(x) * 1.01
+        return x
+
+    est = rl.hbm_traffic_from_hlo(f, x)
+    if est is None:
+        pytest.skip("backend exposes no compiled HLO text")
+    # in + out = 2 * 256 KiB; allow generous slack for copies/layout ops,
+    # but a per-op count would be ~20x in size
+    assert est["hbm_bytes"] <= 6 * x.size * 4
