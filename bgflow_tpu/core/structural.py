@@ -106,9 +106,19 @@ class Coupling(Flow):
     ``transformer.forward(params, cond, y, inverse=..., **kwargs)`` transforms
     the concatenation of the ``transformed`` tensors conditioned on the
     concatenation of the ``on`` tensors.  Reference: ``coupling.py:133-182``.
+
+    ``temperature_feature=True`` appends ``log(T)`` as one extra conditioner
+    input column (scalar T broadcast over the batch, or a per-sample ``(B,)``
+    vector) — the "latent temperature input" that makes the learned
+    conditional densities temperature-dependent.  At ``T=1`` the feature is
+    exactly zero, so a temperature-conditioned model evaluated at unit
+    temperature uses only the data-driven inputs.  The conditioner net must
+    be built with one extra input dim (``factory.make_conditioners(...,
+    temperature_feature=True)`` handles the bookkeeping).
     """
 
-    def __init__(self, transformer, transformed=(1,), on=(0,), cat_axis: int = -1):
+    def __init__(self, transformer, transformed=(1,), on=(0,), cat_axis: int = -1,
+                 temperature_feature: bool = False):
         self.transformer = transformer
         self.transformed = tuple(transformed)
         self.on = tuple(on)
@@ -116,6 +126,9 @@ class Coupling(Flow):
         if overlap:
             raise ValueError(f"Indices {overlap} cannot be both transformed and conditioned on.")
         self.cat_axis = cat_axis
+        if temperature_feature and cat_axis != -1:
+            raise ValueError("temperature_feature requires cat_axis=-1")
+        self.temperature_feature = bool(temperature_feature)
 
     def init(self, key=None):
         return self.transformer.init(key)
@@ -124,6 +137,13 @@ class Coupling(Flow):
         lengths = [xs[i].shape[self.cat_axis] for i in self.transformed]
         y = jnp.concatenate([xs[i] for i in self.transformed], axis=self.cat_axis)
         cond = jnp.concatenate([xs[i] for i in self.on], axis=self.cat_axis)
+        if self.temperature_feature:
+            t = jnp.asarray(kwargs.get("temperature", 1.0), dtype=cond.dtype)
+            feat = jnp.log(jnp.broadcast_to(
+                t.reshape(t.shape + (1,) * (cond.ndim - t.ndim)),
+                cond.shape[:-1] + (1,),
+            ))
+            cond = jnp.concatenate([cond, feat], axis=-1)
         y_out, ldj = self.transformer.forward(params, cond, y, inverse=inverse, **kwargs)
         out = list(xs)
         offset = 0

@@ -49,7 +49,11 @@ class NormalDistribution(Energy, Sampler):
         if self._has_cov:
             z = jnp.dot(z, self._rot, preferred_element_type=z.dtype)
             z = z * jnp.exp(-0.5 * self._log_diag)
-        z = z / jnp.sqrt(temperature)
+        temperature = jnp.asarray(temperature)
+        if temperature.ndim == 1:  # per-sample (B,) temperatures
+            z = z / jnp.sqrt(temperature)[:, None]
+        else:
+            z = z / jnp.sqrt(temperature)
         return 0.5 * jnp.sum(z * z, axis=-1) + self._log_z(temperature)
 
     def _energy(self, x):

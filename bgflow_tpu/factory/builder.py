@@ -212,6 +212,11 @@ class BoltzmannGeneratorBuilder:
             transformer=transformer,
             transformed=[self.current_dims.index(f) for f in what],
             on=[self.current_dims.index(f) for f in on],
+            # conditioners were sized for the extra log-T input column iff
+            # this was set (make_conditioners consumed the same kwarg)
+            temperature_feature=bool(
+                conditioner_kwargs.get("temperature_feature", False)
+            ),
         )
         logger.info(
             f"  + Coupling Layer: ({', '.join(f.name for f in on)}) "

@@ -129,13 +129,16 @@ def make_conditioners(
     shape_info,
     transformer_kwargs={},
     conditioner_type="dense",
+    temperature_feature=False,
     **kwargs,
 ):
     """Build the conditioner nets a transformer needs for a coupling layer.
 
     Circular conditioner inputs are sin/cos-embedded (input dim
     ``n_noncircular + 2 * n_circular``, reference
-    ``conditioner_factory.py:63-70``).
+    ``conditioner_factory.py:63-70``).  ``temperature_feature`` sizes the
+    nets for one extra (non-circular) log-temperature input column — the
+    matching ``Coupling(temperature_feature=True)`` appends it at call time.
     """
     net_factory = CONDITIONER_FACTORIES[conditioner_type]
     dim_out_factory = CONDITIONER_OUT_DIMS[transformer_type]
@@ -150,6 +153,8 @@ def make_conditioners(
     if shared:
         dim_out = {"params_net": sum(dim_out.values())}
     dim_in = shape_info.dim_noncircular(on) + 2 * shape_info.dim_circular(on)
+    if temperature_feature:
+        dim_in += 1
     conditioners = {}
     for name, dim in dim_out.items():
         net = net_factory(dim_in, dim, shape_info=shape_info, on=on, **kwargs)

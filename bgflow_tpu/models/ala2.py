@@ -184,6 +184,9 @@ def make_ala2_generator(
     marginals_from: str = "data",
     implicit_solvent: bool = False,
     learnable_marginals: bool = False,
+    temperature_conditioning: bool = False,
+    fixed_gnn: bool = False,
+    gnn_kwargs: dict = {},
     architecture=(
         (TORSIONS, FIXED),
         (FIXED, TORSIONS),
@@ -218,9 +221,27 @@ def make_ala2_generator(
     shape_info = ShapeDictionary.from_coordinate_transform(crd)
     builder = BoltzmannGeneratorBuilder(shape_info, target=target)
     tkw = dict(use_pallas=True) if use_pallas_spline else dict()
+    # temperature_conditioning: every coupling conditioner sees log(T) as an
+    # extra input — the model density becomes genuinely T-dependent (uniform
+    # torsion priors alone make q temperature-independent; VERDICT r3 item 7)
+    ckw = dict(temperature_feature=True) if temperature_conditioning else dict()
+    if fixed_gnn and temperature_conditioning:
+        raise NotImplementedError(
+            "temperature_conditioning with the GNN conditioner needs a log-T "
+            "node feature (not an appended input column); use one or the other"
+        )
     for what, on in architecture:
+        kw = dict(ckw)
+        on_fields = on if isinstance(on, tuple) else (on,)
+        if fixed_gnn and FIXED in on_fields:
+            # E(3)-invariant GNN conditioner on the (cartesian, whitened)
+            # fixed-atom channel — the reference's nequip-conditioner slot
+            # (``conditioner_factory.py:86-211``); requires keepdims = 3 *
+            # n_fixed so FIXED stays a per-atom coordinate channel
+            kw.update(dict(conditioner_type="GNN"), **gnn_kwargs)
         builder.add_condition(
-            what, on=on, hidden=hidden, num_bins=num_bins, transformer_kwargs=tkw
+            what, on=on, hidden=hidden, num_bins=num_bins, transformer_kwargs=tkw,
+            **kw,
         )
     if learnable_marginals:
         from ..flows.marginal import MarginalSplineFlow

@@ -92,6 +92,7 @@ class KLTrainer:
         train_logvar: bool = False,
         logvar_huber: Optional[float] = 10.0,
         custom_loss: Optional[Callable] = None,
+        likelihood_temperature_from_batch: bool = False,
     ):
         self.bg = bg
         self.optimizer = optimizer if optimizer is not None else optax.adam(5e-3)
@@ -100,6 +101,11 @@ class KLTrainer:
         self.train_logvar = train_logvar
         self.logvar_huber = logvar_huber
         self.custom_loss = custom_loss
+        # multi-temperature NLL: the LAST tensor of each batch tuple is a
+        # per-sample (B,) temperature vector (ride it through DataSetSampler
+        # as an aligned tensor) — the way a temperature-conditioned model
+        # (Coupling(temperature_feature=True)) learns from a replica ladder
+        self.likelihood_temperature_from_batch = bool(likelihood_temperature_from_batch)
         self._step_cache = {}
 
     def init(self, params):
@@ -154,7 +160,10 @@ class KLTrainer:
             wsum += w_logvar
         if self.train_likelihood and batch is not None:
             batch = batch if isinstance(batch, tuple) else (batch,)
-            nll = jnp.mean(self.bg.energy(params, *batch, temperature=temperature))
+            t_like = temperature
+            if self.likelihood_temperature_from_batch:
+                batch, t_like = batch[:-1], batch[-1]
+            nll = jnp.mean(self.bg.energy(params, *batch, temperature=t_like))
             metrics["nll"] = nll
             total = total + w_likelihood * nll
             wsum += w_likelihood

@@ -243,10 +243,117 @@ def eval_phase(n_eval=65536, seed=7):
         json.dump(existing, fh, indent=1)
 
 
+def perturb_phase(n_eval=65536, seed=9,
+                  sigmas=(0.002, 0.005, 0.01, 0.02, 0.05), from_lv=False):
+    """Flow-perturbation (Jacobian-free) weights on the trained model.
+
+    Round-2 item 7 / round-3 item 8: measure whether the extended-space
+    estimator improves the reweighting ESS over the exact-Jacobian
+    deterministic weights (whose logw tail is heavy, logw_std ~200).  The
+    Gaussian perturbation convolves the model density — a sigma sweep
+    records where (if anywhere) the smoothing beats the added kernel
+    variance.  Results land next to the deterministic numbers in
+    lj13_science.json."""
+    from bgflow_tpu.flows.perturbation import flow_perturbation_sample
+    from bgflow_tpu.utils.checkpoint import restore_checkpoint
+
+    gen = make_gen()
+    ckpt = CKPT + "_lv" if from_lv else CKPT
+    params = restore_checkpoint(ckpt)["params"]
+    out_rows = []
+    for sigma in sigmas:
+        res = flow_perturbation_sample(
+            params, gen.prior, gen.flow, gen.target,
+            jax.random.PRNGKey(seed), n_eval, sigma=sigma,
+        )
+        lw = res.log_weights
+        finite = jnp.isfinite(lw)
+        ess = float(bg.effective_sample_size(jnp.where(finite, lw, -jnp.inf)))
+        row = {
+            "sigma": sigma,
+            "ess": round(ess, 2),
+            "sampling_efficiency_pct": round(100.0 * ess / n_eval, 4),
+            "logw_std": round(
+                float(jnp.std(jnp.where(finite, lw, jnp.nan), where=finite)), 3),
+            "frac_nonfinite_logw": round(
+                float(1 - jnp.mean(finite.astype(jnp.float32))), 6),
+        }
+        print(json.dumps(row), flush=True)
+        out_rows.append(row)
+    existing = {}
+    if os.path.exists(RESULTS):
+        existing = json.load(open(RESULTS))
+    existing["flow_perturbation" + ("_lv" if from_lv else "")] = {
+        "n_eval": n_eval,
+        "note": "extended-space Jacobian-free weights (arXiv:2407.10666) "
+                "vs the deterministic exact-Jacobian weights above",
+        "sigma_sweep": out_rows,
+    }
+    with open(RESULTS, "w") as fh:
+        json.dump(existing, fh, indent=1)
+
+
+def finetune_phase(n_iter=3000, batch=1024, lv_batch=1024, w_lv=0.05, seed=3):
+    """Log-variance fine-tune against the heavy logw tail (logw_std ~200).
+
+    Same recipe as the ALA3 lv rung: NLL anchor + Huberized Var[log w] over
+    reparametrized model samples.  Writes CKPT_lv; evaluate with
+    ``eval --lv`` / ``perturb --lv``."""
+    import optax
+
+    from bgflow_tpu.utils.checkpoint import restore_checkpoint
+
+    blob = np.load(DATA_PATH)
+    data = jnp.asarray(blob["data"])
+    v = jax.random.normal(jax.random.PRNGKey(seed + 100), data.shape)
+    v = _remove_mean(v)
+    sampler = bg.DataSetSampler(data, v)
+
+    gen = make_gen()
+    params = restore_checkpoint(CKPT)["params"]
+    import shutil
+
+    if os.path.isdir(CKPT + "_lv"):
+        shutil.rmtree(CKPT + "_lv")
+    trainer = bg.KLTrainer(
+        gen, train_energy=False, train_logvar=True,
+        optimizer=optax.chain(
+            optax.clip_by_global_norm(50.0),
+            optax.adam(optax.cosine_decay_schedule(2e-4, n_iter, 1e-2)),
+        ),
+    )
+    w_logvar = optax.linear_schedule(0.0, w_lv, max(1, n_iter // 4))
+    params, opt_state, reporter = trainer.train(
+        params, jax.random.PRNGKey(seed), n_iter, data=sampler,
+        batchsize=batch, n_logvar_samples=lv_batch, w_logvar=w_logvar,
+        scan_chunk=250, progress_interval=1, checkpoint_dir=CKPT + "_lv",
+    )
+    print("final loss:", reporter.losses()[0][-20:].mean(), flush=True)
+
+
+def eval_lv_phase(n_eval=65536, seed=7):
+    """Deterministic-weight eval of the lv-finetuned checkpoint; results go
+    under the 'lv_finetune' key of lj13_science.json."""
+    global CKPT, RESULTS
+    orig_ckpt, orig_res = CKPT, RESULTS
+    try:
+        CKPT = CKPT + "_lv"
+        RESULTS = os.path.join(ART, "lj13_science_lv.json")
+        eval_phase(n_eval=n_eval, seed=seed)
+    finally:
+        lv = json.load(open(RESULTS))
+        CKPT, RESULTS = orig_ckpt, orig_res
+        existing = json.load(open(RESULTS)) if os.path.exists(RESULTS) else {}
+        existing["lv_finetune"] = lv
+        with open(RESULTS, "w") as fh:
+            json.dump(existing, fh, indent=1)
+
+
 if __name__ == "__main__":
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
-    kv = dict(f.lstrip("-").split("=", 1) for f in sys.argv[1:] if f.startswith("--") and "=" in f)
-    unknown = set(kv) - {"iters", "batch"}
+    flags = {a for a in sys.argv[1:] if a.startswith("--")}
+    kv = dict(f.lstrip("-").split("=", 1) for f in flags if "=" in f)
+    unknown = set(kv) - {"iters", "batch", "lv"}
     if unknown:
         raise SystemExit(f"unknown flag(s): {sorted(unknown)}")
     phase = args[0] if args else "all"
@@ -261,3 +368,9 @@ if __name__ == "__main__":
         train_phase(**tkw)
     if phase in ("eval", "all"):
         eval_phase()
+    if phase == "finetune":
+        finetune_phase(**tkw)
+    if phase == "eval_lv":
+        eval_lv_phase()
+    if phase == "perturb":
+        perturb_phase(from_lv="--lv" in flags)
