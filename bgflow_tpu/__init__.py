@@ -184,6 +184,6 @@ from .utils.trajectory import (
     NumpyReporter,
 )
 from .utils.serving import export_sampler, export_energy, save_exported, load_exported
-from .nets.gnn import InvariantGNN, EquivariantGNN, GNNConditioner
+from .nets.gnn import InvariantGNN, EquivariantGNN, EquivariantGNNL2, GNNConditioner
 
 __version__ = "0.1.0"

@@ -261,6 +261,7 @@ def make_polyala_generator(
     torsion_scheme: str = "even_odd",
     learnable_marginals: bool = False,
     implicit_solvent: bool = False,
+    temperature_conditioning: bool = False,
     architecture=(
         (TORSIONS, FIXED),
         (FIXED, TORSIONS),
@@ -302,6 +303,10 @@ def make_polyala_generator(
     shape_info = ShapeDictionary.from_coordinate_transform(crd)
     builder = BoltzmannGeneratorBuilder(shape_info, target=target)
     tkw = dict(use_pallas=True) if use_pallas_spline else dict()
+    # temperature_conditioning: log(T) as an extra conditioner input on every
+    # coupling (Coupling(temperature_feature=True)) so q(x | T) genuinely
+    # depends on temperature — uniform torsion priors alone are T-independent
+    ckw = dict(temperature_feature=True) if temperature_conditioning else dict()
     if torsion_cross_couplings and torsion_scheme == "even_odd":
         d_t = builder.current_dims[TORSIONS][-1]
         idx_a = np.arange(0, d_t, 2)
@@ -309,10 +314,10 @@ def make_polyala_generator(
         ta, tb = builder.add_split(TORSIONS, ["torsions_a", "torsions_b"], [idx_a, idx_b])
         for _ in range(torsion_cross_couplings):
             builder.add_condition(
-                ta, on=(tb, FIXED), hidden=hidden, num_bins=num_bins, transformer_kwargs=tkw
+                ta, on=(tb, FIXED), hidden=hidden, num_bins=num_bins, transformer_kwargs=tkw, **ckw
             )
             builder.add_condition(
-                tb, on=(ta, FIXED), hidden=hidden, num_bins=num_bins, transformer_kwargs=tkw
+                tb, on=(ta, FIXED), hidden=hidden, num_bins=num_bins, transformer_kwargs=tkw, **ckw
             )
         builder.add_merge((ta, tb), to=TORSIONS, sizes_or_indices=[idx_a, idx_b])
     elif torsion_cross_couplings and torsion_scheme == "residue_ar":
@@ -337,7 +342,7 @@ def make_polyala_generator(
         for gi, f in enumerate(fields):
             on = (FIXED,) + tuple(fields[:gi])
             builder.add_condition(
-                f, on=on, hidden=hidden, num_bins=num_bins, transformer_kwargs=tkw
+                f, on=on, hidden=hidden, num_bins=num_bins, transformer_kwargs=tkw, **ckw
             )
         # reverse rounds: anti-causal even/odd mixing so early residues see
         # late ones too
@@ -346,14 +351,14 @@ def make_polyala_generator(
                 on = (FIXED,) + tuple(fields[gi + 1:])
                 if len(on) > 1:
                     builder.add_condition(
-                        f, on=on, hidden=hidden, num_bins=num_bins, transformer_kwargs=tkw
+                        f, on=on, hidden=hidden, num_bins=num_bins, transformer_kwargs=tkw, **ckw
                     )
         builder.add_merge(fields, to=TORSIONS, sizes_or_indices=groups)
     elif torsion_cross_couplings:
         raise ValueError(f"unknown torsion_scheme {torsion_scheme!r}")
     for what, on in architecture:
         builder.add_condition(
-            what, on=on, hidden=hidden, num_bins=num_bins, transformer_kwargs=tkw
+            what, on=on, hidden=hidden, num_bins=num_bins, transformer_kwargs=tkw, **ckw
         )
     if learnable_marginals:
         # per-dof trainable marginal reshapers: with ~40 dofs per residue the

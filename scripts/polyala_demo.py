@@ -37,10 +37,11 @@ IMPLICIT_SOLVENT = False
 
 
 def _tag(augment, marginals, residue_ar=False, neutra=False, lv=False,
-         cold=False):
+         cold=False, tcond=False):
     return ("_aug" if augment else "") + ("_m" if marginals else "") + (
         "_ar" if residue_ar else "") + ("_nt" if neutra else "") + (
-        "_lv" if lv else "") + ("_cold" if cold else "")
+        "_lv" if lv else "") + ("_cold" if cold else "") + (
+        "_tc" if tcond else "")
 
 
 def data_phase(n_res, n_samples=98304):
@@ -56,6 +57,7 @@ def data_phase(n_res, n_samples=98304):
     np.savez(
         os.path.join(ART, f"polyala{n_res}_data.npz"),
         data=np.asarray(data), log_weights=np.asarray(log_w),
+        n_rungs=8, rung_base=1.15,
     )
     w = np.exp(np.asarray(log_w)); w /= w.sum()
     print(f"data: {data.shape}, weight-ESS {1.0/np.sum(w**2):.0f}", flush=True)
@@ -197,7 +199,7 @@ def _augmented_training_set(n_res, umbrella_mass=0.25, n_bins=16,
 
 
 def _make_gen(n_res, data, marginals, residue_ar=False, use_pallas=None,
-              statistics=None):
+              statistics=None, tcond=False):
     from bgflow_tpu.models.polyala import make_polyala_generator
 
     if use_pallas is None:
@@ -213,6 +215,7 @@ def _make_gen(n_res, data, marginals, residue_ar=False, use_pallas=None,
         torsion_scheme="residue_ar" if residue_ar else "even_odd",
         statistics=statistics,
         implicit_solvent=IMPLICIT_SOLVENT,
+        temperature_conditioning=tcond,
     )
 
 
@@ -324,7 +327,12 @@ def _training_set(n_res, augment, neutra, marginals=False, residue_ar=False,
 
 
 def train_phase(n_res, n_iter=24000, batch=1024, augment=False, marginals=False,
-                residue_ar=False, neutra=False, cold=False):
+                residue_ar=False, neutra=False, cold=False, tcond=False):
+    """``tcond``: temperature-conditioned training — the model sees log(T)
+    as a conditioner input and trains unweighted NLL on ALL ladder rungs at
+    each frame's own rung temperature (every rung is an exact ensemble at
+    its T, so no MBAR reweighting and no weight-concentration
+    over-sharpening).  Evaluate at T=1 (or any T in the ladder range)."""
     import bgflow_tpu as bg
     import optax
 
@@ -335,24 +343,36 @@ def train_phase(n_res, n_iter=24000, batch=1024, augment=False, marginals=False,
     import shutil
 
     ckpt_dir = os.path.join(
-        ART, f"polyala{n_res}_ckpt{_tag(augment, marginals, residue_ar, neutra, cold=cold)}")
+        ART, f"polyala{n_res}_ckpt{_tag(augment, marginals, residue_ar, neutra, cold=cold, tcond=tcond)}")
     if os.path.isdir(ckpt_dir):
         shutil.rmtree(ckpt_dir)
 
-    data, log_w = _training_set(n_res, augment, neutra, marginals, residue_ar, cold=cold)
+    temps = None
+    if tcond:
+        blob = np.load(os.path.join(ART, f"polyala{n_res}_data.npz"))
+        data, log_w = blob["data"], None
+        k = int(blob["n_rungs"]) if "n_rungs" in blob.files else 8
+        base = float(blob["rung_base"]) if "rung_base" in blob.files else 1.15
+        temps = (base ** (np.arange(len(data)) % k)).astype(np.float32)
+    else:
+        data, log_w = _training_set(n_res, augment, neutra, marginals, residue_ar, cold=cold)
     if augment and not neutra:
         np.savez_compressed(
             os.path.join(ART, f"polyala{n_res}_train_data.npz"),
             data=data, log_weights=log_w,
         )
-    gen = _make_gen(n_res, data, marginals, residue_ar)
+    gen = _make_gen(n_res, data, marginals, residue_ar, tcond=tcond)
     params = gen.init(jax.random.PRNGKey(0))
     trainer = bg.KLTrainer(
         gen, train_energy=False,
+        likelihood_temperature_from_batch=tcond,
         optimizer=optax.adam(optax.cosine_decay_schedule(1e-3, n_iter, 1e-2)),
     )
-    sampler = bg.DataSetSampler(jnp.asarray(data), log_weights=(
-        None if log_w is None else jnp.asarray(log_w)))
+    if tcond:
+        sampler = bg.DataSetSampler(jnp.asarray(data), jnp.asarray(temps))
+    else:
+        sampler = bg.DataSetSampler(jnp.asarray(data), log_weights=(
+            None if log_w is None else jnp.asarray(log_w)))
     params, opt_state, reporter = trainer.train(
         params, jax.random.PRNGKey(1), n_iter, data=sampler,
         batchsize=batch, scan_chunk=1000, progress_interval=1,
@@ -479,15 +499,19 @@ def neutra_phase(n_res, n_samples=98304, n_chains=512, augment=False,
 
 
 def eval_phase(n_res, n_eval=50000, augment=False, marginals=False,
-               residue_ar=False, neutra=False, lv=False, cold=False):
+               residue_ar=False, neutra=False, lv=False, cold=False,
+               tcond=False):
     import bgflow_tpu as bg
     from bgflow_tpu.utils.checkpoint import restore_checkpoint
 
-    data, _ = _training_set(n_res, augment, neutra, marginals, residue_ar, cold=cold)
+    if tcond:
+        data = np.load(os.path.join(ART, f"polyala{n_res}_data.npz"))["data"]
+    else:
+        data, _ = _training_set(n_res, augment, neutra, marginals, residue_ar, cold=cold)
     ckpt = os.path.join(
-        ART, f"polyala{n_res}_ckpt{_tag(augment, marginals, residue_ar, neutra, lv, cold)}")
+        ART, f"polyala{n_res}_ckpt{_tag(augment, marginals, residue_ar, neutra, lv, cold, tcond)}")
     gen = _make_gen(n_res, data, marginals, residue_ar,
-                    statistics=_load_stats(ckpt))
+                    statistics=_load_stats(ckpt), tcond=tcond)
     params = restore_checkpoint(ckpt)["params"]
     out = gen.sample(params, jax.random.PRNGKey(7), n_eval, with_log_weights=True)
     lw = out.log_weights
@@ -498,7 +522,7 @@ def eval_phase(n_res, n_eval=50000, augment=False, marginals=False,
         "n_eval": n_eval,
         "config": {"augment": augment, "learnable_marginals": marginals,
                    "residue_ar": residue_ar, "neutra": neutra, "lv": lv,
-                   "cold": cold},
+                   "cold": cold, "tcond": tcond},
         "ess": ess,
         "sampling_efficiency_pct": 100.0 * ess / n_eval,
         "logw_std": float(jnp.std(jnp.where(finite, lw, jnp.nan), where=finite)),
@@ -538,7 +562,7 @@ def eval_phase(n_res, n_eval=50000, augment=False, marginals=False,
         overlap[name] = round(float(np.minimum(hm, hd).sum() * np.diff(edges)[0]), 4)
     res["dihedral_overlap_model_vs_data"] = overlap
     path = os.path.join(
-        ART, f"polyala{n_res}{_tag(augment, marginals, residue_ar, neutra, lv, cold)}.json")
+        ART, f"polyala{n_res}{_tag(augment, marginals, residue_ar, neutra, lv, cold, tcond)}.json")
     with open(path, "w") as fh:
         json.dump(res, fh, indent=1)
     print(json.dumps(res, indent=1), flush=True)
@@ -555,6 +579,7 @@ if __name__ == "__main__":
     neutra = "--neutra" in flags
     lv = "--lv" in flags
     cold = "--cold" in flags
+    tcond = "--tcond" in flags
     if "--gbsa" in flags:
         IMPLICIT_SOLVENT = True
         ART = os.path.join(ART, "gbsa")
@@ -583,7 +608,8 @@ if __name__ == "__main__":
                      residue_ar=residue_ar)
     if phase in ("train", "all"):
         train_phase(n_res, augment=augment, marginals=marginals,
-                    residue_ar=residue_ar, neutra=neutra, cold=cold, **train_kw)
+                    residue_ar=residue_ar, neutra=neutra, cold=cold,
+                    tcond=tcond, **train_kw)
     if phase == "finetune":
         ft_kw = dict(train_kw)
         if "w_lv" in kv:
@@ -592,4 +618,5 @@ if __name__ == "__main__":
                        residue_ar=residue_ar, neutra=neutra, **ft_kw)
     if phase in ("eval", "all"):
         eval_phase(n_res, augment=augment, marginals=marginals,
-                   residue_ar=residue_ar, neutra=neutra, lv=lv, cold=cold)
+                   residue_ar=residue_ar, neutra=neutra, lv=lv, cold=cold,
+                   tcond=tcond)

@@ -92,6 +92,7 @@ def main():
     neutra = "--neutra" in flags
     lv = "--lv" in flags
     cold = "--cold" in flags
+    tcond = "--tcond" in flags
     n_eval = int(kv.get("n", 200000))
     if "--gbsa" in flags:
         # solvated pipeline: same switch + artifact redirection as
@@ -104,10 +105,14 @@ def main():
         if not globals()["ART"].endswith("gbsa"):
             globals()["ART"] = os.path.join(globals()["ART"], "gbsa")
 
-    data, _ = _training_set(n_res, augment, neutra, marginals, cold=cold)
-    tag = _tag(augment, marginals, False, neutra, lv, cold)
+    if tcond:
+        data = np.load(os.path.join(ART, f"polyala{n_res}_data.npz"))["data"]
+    else:
+        data, _ = _training_set(n_res, augment, neutra, marginals, cold=cold)
+    tag = _tag(augment, marginals, False, neutra, lv, cold, tcond)
     ckpt = os.path.join(ART, f"polyala{n_res}_ckpt{tag}")
-    gen = _make_gen(n_res, data, marginals, statistics=_load_stats(ckpt))
+    gen = _make_gen(n_res, data, marginals, statistics=_load_stats(ckpt),
+                    tcond=tcond)
     params = restore_checkpoint(ckpt)["params"]
 
     seq = ["ACE"] + ["ALA"] * n_res + ["NME"]
@@ -143,7 +148,7 @@ def main():
     res = {
         "n_res": n_res,
         "config": {"augment": augment, "learnable_marginals": marginals,
-                   "neutra": neutra, "lv": lv, "cold": cold},
+                   "neutra": neutra, "lv": lv, "cold": cold, "tcond": tcond},
         "n_eval": n_eval,
         "ess": ess,
         "sampling_efficiency_pct": 100.0 * ess / n_eval,

@@ -206,3 +206,97 @@ def test_equivariant_conditioner_in_builder(key):
     g = jax.grad(lambda p: jnp.sum(cond.apply(p, x) ** 2))(params)
     flat = jax.tree_util.tree_leaves(g)
     assert all(bool(jnp.all(jnp.isfinite(a))) for a in flat)
+
+
+def test_l2_gnn_invariance_and_l2_signal(key):
+    """EquivariantGNNL2: the readout is exactly E(3)-invariant, and the
+    l=2 tensor paths carry real signal (outputs change when they are cut),
+    i.e. the net is in the nequip/allegro capability class rather than a
+    reparametrized l<=1 net."""
+    from bgflow_tpu.nets.gnn import EquivariantGNNL2
+
+    gnn = EquivariantGNNL2(n_atoms=6, dim_out=8, n_features=16, n_layers=2)
+    params = gnn.init(key)
+    x = jax.random.normal(key, (3, 18))
+    y = gnn.apply(params, x)
+    assert y.shape == (3, 8) and bool(jnp.all(jnp.isfinite(y)))
+    # translation invariance
+    shift = jnp.tile(jnp.asarray([0.3, -0.1, 0.2]), 6)
+    assert_close(gnn.apply(params, x + shift), y, 1e-5)
+    # rotation invariance (proper rotation about a generic axis)
+    theta = 0.9
+    rot = jnp.asarray([
+        [jnp.cos(theta), -jnp.sin(theta), 0.0],
+        [jnp.sin(theta), jnp.cos(theta), 0.0],
+        [0.0, 0.0, 1.0],
+    ])
+    xr = (x.reshape(3, 6, 3) @ rot.T).reshape(3, 18)
+    assert_close(gnn.apply(params, xr), y, 1e-5)
+    # reflection invariance (O(3), not just SO(3): all paths are even)
+    xm = (x.reshape(3, 6, 3) * jnp.asarray([-1.0, 1.0, 1.0])).reshape(3, 18)
+    assert_close(gnn.apply(params, xm), y, 1e-5)
+    # permutation invariance of the pooled readout
+    perm = np.array([4, 0, 5, 2, 1, 3])
+    xp = x.reshape(3, 6, 3)[:, perm].reshape(3, 18)
+    assert_close(gnn.apply(params, xp), y, 1e-5)
+
+    # the l=2 paths contribute: zero the tensor-channel gates (g_st, g_vt,
+    # g_tt, g_td, g_tv live in blocks 2, 5, 6, 7, 8 of the 9F filter
+    # output) and the output must change
+    import jax.tree_util as jtu
+
+    f = gnn.n_features
+    cut = jtu.tree_map(lambda a: a, params)
+    for li in range(gnn.n_layers):
+        w = cut["msg_filter"][li][-1]["w"]
+        b = cut["msg_filter"][li][-1]["b"]
+        m = np.ones(9 * f)
+        for blk in (2, 5, 6, 7, 8):
+            m[blk * f:(blk + 1) * f] = 0.0
+        cut["msg_filter"][li][-1]["w"] = w * m[None, :]
+        cut["msg_filter"][li][-1]["b"] = b * m
+    y_cut = gnn.apply(cut, x)
+    assert float(jnp.max(jnp.abs(y_cut - y))) > 1e-4
+
+
+def test_l2_gnn_internal_tensor_equivariance(key):
+    """The internal l=1/l=2 channels transform correctly: node_features
+    (invariants built from them) match under rotation even when vectors and
+    tensors are nonzero after several layers — plus the Bessel/Gaussian
+    radial bases give different (finite) nets."""
+    from bgflow_tpu.nets.gnn import EquivariantGNNL2
+
+    for basis in ("bessel", "gaussian"):
+        gnn = EquivariantGNNL2(
+            n_atoms=5, dim_out=4, n_features=8, n_layers=3, radial_basis=basis
+        )
+        params = gnn.init(key)
+        x = 0.4 * jax.random.normal(jax.random.fold_in(key, 1), (2, 15))
+        h = gnn.node_features(params, x)
+        theta = 1.3
+        rot = jnp.asarray([
+            [1.0, 0.0, 0.0],
+            [0.0, jnp.cos(theta), -jnp.sin(theta)],
+            [0.0, jnp.sin(theta), jnp.cos(theta)],
+        ])
+        xr = (x.reshape(2, 5, 3) @ rot.T).reshape(2, 15)
+        assert_close(gnn.node_features(params, xr), h, 1e-5)
+
+
+def test_l2_gnn_conditioner_in_builder(key):
+    data = np.asarray(_random_ala2_xyz(jax.random.PRNGKey(42), 128, jnp.float64))
+    crd = bg.MixedCoordinateTransformation(data, ALA2_Z_MATRIX, ALA2_FIXED, keepdims=15)
+    shape_info = bg.ShapeDictionary.from_coordinate_transform(crd)
+    builder = bg.BoltzmannGeneratorBuilder(shape_info)
+    builder.add_condition(
+        bg.TORSIONS, on=bg.FIXED, conditioner_type="GNN", gnn_type="l2",
+        hidden=(32,), gnn_features=8, gnn_layers=1, gnn_out=16,
+    )
+    gen = builder.build_generator(check_target=False)
+    params = gen.init(key)
+    out = gen.sample(params, key, 4, with_dlogp=True)
+    assert all(bool(jnp.all(jnp.isfinite(x))) for x in out.xs)
+    zs, _ = gen.flow.forward(params, out.xs, inverse=True)
+    xs2, _ = gen.flow.forward(params, zs)
+    for a, b in zip(out.xs, xs2):
+        assert_close(a, b, 1e-4)
