@@ -105,28 +105,44 @@ def neutra_sample(
         step_count=jnp.zeros((), jnp.int32),
     )
 
-    @jax.jit
-    def advance(state, key):
-        return hmc.step(state, key)
+    # chunked lax.scan blocks: per-iteration host dispatches dominate
+    # wall-clock through a tunneled accelerator (same pattern as
+    # models/polyala.py::generate_polyala_data_exact) — one dispatch
+    # advances `scan_chunk` stride-blocks and pushes the collected latent
+    # states through the flow on device.
+    scan_chunk = 32
 
     @jax.jit
-    def to_x(zs):
-        x = pe.push(*zs)
+    def burn_chunk(state, key):
+        def body(s, sub):
+            return hmc.step(s, sub), None
+
+        return jax.lax.scan(body, state, jax.random.split(key, scan_chunk))[0]
+
+    @jax.jit
+    def collect_chunk(state, key):
+        def body(s, sub):
+            s = hmc.step(s, sub)
+            return s, s.samples
+
+        state, zs = jax.lax.scan(body, state, jax.random.split(key, scan_chunk))
+        # zs leaves: (chunk, chains, D) -> flatten, push to x, energies
+        zs_flat = tuple(z.reshape((-1,) + z.shape[2:]) for z in zs)
+        x = pe.push(*zs_flat)
         xs = x if isinstance(x, tuple) else (x,)
-        return xs, generator.target.energy(*xs, temperature=temperature)
+        return state, xs, generator.target.energy(*xs, temperature=temperature)
 
     n_burn_blocks = -(-n_burnin // max(1, stride))
-    for _ in range(n_burn_blocks):
+    for _ in range(-(-n_burn_blocks // scan_chunk)):
         key, sub = jax.random.split(key)
-        state = advance(state, sub)
+        state = burn_chunk(state, sub)
 
     n_iter = -(-n_samples // n_chains)
     frames = None
     energies = []
-    for _ in range(n_iter):
+    for _ in range(-(-n_iter // scan_chunk)):
         key, sub = jax.random.split(key)
-        state = advance(state, sub)
-        xs, u = to_x(state.samples)
+        state, xs, u = collect_chunk(state, sub)
         if frames is None:
             frames = [[] for _ in xs]
         for buf, x in zip(frames, xs):

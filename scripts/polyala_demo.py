@@ -354,6 +354,13 @@ def train_phase(n_res, n_iter=24000, batch=1024, augment=False, marginals=False,
         k = int(blob["n_rungs"]) if "n_rungs" in blob.files else 8
         base = float(blob["rung_base"]) if "rung_base" in blob.files else 1.15
         temps = (base ** (np.arange(len(data)) % k)).astype(np.float32)
+        if neutra:
+            # combined rung: NeuTra-regenerated T=1 frames (through the
+            # baseline checkpoint) join the ladder as extra T=1 data
+            nb = np.load(_neutra_data_path(n_res, False, False, False))
+            nd = _filter_frozen_chains(nb["data"], nb["energies"])
+            data = np.concatenate([data, nd.astype(data.dtype)])
+            temps = np.concatenate([temps, np.ones(len(nd), np.float32)])
     else:
         data, log_w = _training_set(n_res, augment, neutra, marginals, residue_ar, cold=cold)
     if augment and not neutra:
