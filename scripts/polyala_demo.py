@@ -391,7 +391,7 @@ def train_phase(n_res, n_iter=24000, batch=1024, augment=False, marginals=False,
 
 def finetune_phase(n_res, n_iter=4000, batch=1024, lv_batch=1024, w_lv=0.02,
                    augment=False, marginals=False, residue_ar=False,
-                   neutra=False):
+                   neutra=False, tcond=False):
     """Log-variance fine-tune of a trained variant (ALA3 quality wall fix).
 
     The log-weight forensics (polyala_logw_diag) showed the NLL-trained flow
@@ -408,16 +408,29 @@ def finetune_phase(n_res, n_iter=4000, batch=1024, lv_batch=1024, w_lv=0.02,
     import optax
     from bgflow_tpu.utils.checkpoint import restore_checkpoint
 
-    data, log_w = _training_set(n_res, augment, neutra, marginals, residue_ar)
+    if tcond:
+        # NLL anchor on the COLD rung at scalar T=1 (the logvar term also
+        # samples the model at T=1): the temperature axis stays frozen at
+        # the evaluation temperature during the tail finetune
+        blob = np.load(os.path.join(ART, f"polyala{n_res}_data.npz"))
+        k = int(blob["n_rungs"]) if "n_rungs" in blob.files else 8
+        data = blob["data"][np.arange(len(blob["data"])) % k == 0]
+        log_w = None
+    else:
+        data, log_w = _training_set(n_res, augment, neutra, marginals, residue_ar)
     base = os.path.join(
-        ART, f"polyala{n_res}_ckpt{_tag(augment, marginals, residue_ar, neutra)}")
+        ART, f"polyala{n_res}_ckpt{_tag(augment, marginals, residue_ar, neutra, tcond=tcond)}")
     gen = _make_gen(n_res, data, marginals, residue_ar,
-                    statistics=_load_stats(base))
+                    statistics=_load_stats(base), tcond=tcond)
     params = restore_checkpoint(base)["params"]
 
     import shutil
 
-    ckpt_dir = base + "_lv"
+    # _tag-consistent name (eval/science look up "..._lv_tc", not "_tc_lv")
+    ckpt_dir = os.path.join(
+        ART,
+        f"polyala{n_res}_ckpt{_tag(augment, marginals, residue_ar, neutra, lv=True, tcond=tcond)}",
+    )
     for d in (ckpt_dir, ckpt_dir + "_stats"):
         if os.path.isdir(d):
             shutil.rmtree(d)
@@ -622,7 +635,8 @@ if __name__ == "__main__":
         if "w_lv" in kv:
             ft_kw["w_lv"] = float(kv["w_lv"])
         finetune_phase(n_res, augment=augment, marginals=marginals,
-                       residue_ar=residue_ar, neutra=neutra, **ft_kw)
+                       residue_ar=residue_ar, neutra=neutra, tcond=tcond,
+                       **ft_kw)
     if phase in ("eval", "all"):
         eval_phase(n_res, augment=augment, marginals=marginals,
                    residue_ar=residue_ar, neutra=neutra, lv=lv, cold=cold,
