@@ -47,10 +47,16 @@ def _make_gnn_conditioner(
     r_max=1.0,
     attention_heads=0,
     gnn_type="invariant",
+    cartesian_map=None,
     **kwargs,
 ):
     """E(3)-invariant GNN on the cartesian conditioner inputs (the
-    nequip-conditioner equivalent, reference ``conditioner_factory.py:86-211``)."""
+    nequip-conditioner equivalent, reference ``conditioner_factory.py:86-211``).
+
+    ``cartesian_map``: static (matrix, offset) de-whitening applied before
+    the GNN (see ``GNNConditioner``) — pass the coordinate transform's
+    ``whiten_statistics`` blacken constants when the cartesian field is
+    PCA-whitened."""
     from ..nets.gnn import GNNConditioner
 
     assert shape_info is not None and on is not None
@@ -71,6 +77,7 @@ def _make_gnn_conditioner(
         activation=activation,
         attention_heads=attention_heads,
         gnn_type=gnn_type,
+        cartesian_map=cartesian_map,
     )
 
 

@@ -24,7 +24,7 @@ from ..energies.ala2 import (
 from ..energies.clipped import LinLogCutEnergy
 from ..factory.builder import BoltzmannGeneratorBuilder
 from ..factory.icmarginals import InternalCoordinateMarginals
-from ..factory.tensor_info import ANGLES, BONDS, FIXED, TORSIONS, ShapeDictionary
+from ..factory.tensor_info import ANGLES, BONDS, FIXED, TORSIONS, ShapeDictionary, TensorInfo
 from ..flows.ic import MixedCoordinateTransformation
 from ..samplers.md import baoab_run
 
@@ -232,13 +232,22 @@ def make_ala2_generator(
         )
     for what, on in architecture:
         kw = dict(ckw)
-        on_fields = on if isinstance(on, tuple) else (on,)
+        # NB: TensorInfo is a NamedTuple — isinstance(x, tuple) is True for
+        # a bare field, which would make the membership test inspect its
+        # FIELDS; dispatch on TensorInfo explicitly
+        on_fields = (on,) if isinstance(on, TensorInfo) else tuple(on)
         if fixed_gnn and FIXED in on_fields:
-            # E(3)-invariant GNN conditioner on the (cartesian, whitened)
-            # fixed-atom channel — the reference's nequip-conditioner slot
+            # E(3)-invariant GNN conditioner on the fixed-atom channel —
+            # the reference's nequip-conditioner slot
             # (``conditioner_factory.py:86-211``); requires keepdims = 3 *
-            # n_fixed so FIXED stays a per-atom coordinate channel
-            kw.update(dict(conditioner_type="GNN"), **gnn_kwargs)
+            # n_fixed so FIXED stays a per-atom coordinate channel.  The
+            # field is PCA-whitened, so the conditioner de-whitens back to
+            # physical nm geometry before message passing (cartesian_map).
+            ws = crd.whiten_statistics
+            kw.update(dict(
+                conditioner_type="GNN",
+                cartesian_map=(np.asarray(ws["t_blacken"]), np.asarray(ws["mean"])),
+            ), **gnn_kwargs)
         builder.add_condition(
             what, on=on, hidden=hidden, num_bins=num_bins, transformer_kwargs=tkw,
             **kw,

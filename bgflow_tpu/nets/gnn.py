@@ -508,12 +508,31 @@ class GNNConditioner(Net):
         activation=jax.nn.silu,
         attention_heads: int = 0,
         gnn_type: str = "invariant",
+        cartesian_map=None,
     ):
+        """``cartesian_map``: optional static ``(matrix, offset)`` pair
+        applied to the cartesian block before the GNN — ``xyz = z @ matrix
+        + offset``.  Needed when the flow's cartesian field is PCA-whitened
+        (``MixedCoordinateTransformation``): whitened coordinates scale each
+        principal direction by 1/std, so "distances" in that space are
+        dominated by the near-rigid residual directions and mean nothing to
+        a geometric GNN; de-whitening with the stored ``t_blacken``/``mean``
+        constants restores physical nm geometry.  The pair is a data-derived
+        constant (like the whitening itself), not a trainable parameter."""
         self.circular = np.asarray(circular_indices, dtype=int)
         self.cartesian = np.asarray(cartesian_indices, dtype=int)
         self.other = np.asarray(other_indices, dtype=int)
         assert len(self.cartesian) % 3 == 0
-        n_atoms = len(self.cartesian) // 3
+        if cartesian_map is not None:
+            matrix, offset = cartesian_map
+            self._cart_matrix = jnp.asarray(matrix)
+            self._cart_offset = jnp.asarray(offset)
+            assert self._cart_matrix.shape[0] == len(self.cartesian)
+            n_atoms = self._cart_matrix.shape[1] // 3
+        else:
+            self._cart_matrix = None
+            self._cart_offset = None
+            n_atoms = len(self.cartesian) // 3
         gnn_cls = {
             "invariant": InvariantGNN,
             "equivariant": EquivariantGNN,
@@ -538,5 +557,8 @@ class GNNConditioner(Net):
             feats.extend([jnp.cos(arg), jnp.sin(arg)])
         if len(self.other):
             feats.append(x[..., self.other])
-        feats.append(self.gnn.apply(params["gnn"], x[..., self.cartesian]))
+        cart = x[..., self.cartesian]
+        if self._cart_matrix is not None:
+            cart = cart @ self._cart_matrix + self._cart_offset
+        feats.append(self.gnn.apply(params["gnn"], cart))
         return self.head.apply(params["head"], jnp.concatenate(feats, axis=-1))
