@@ -34,6 +34,10 @@ ART = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), 
 # target).  Toggled by --gbsa, which also redirects ART to artifacts/gbsa so
 # vacuum and solvated ensembles/checkpoints never mix.
 IMPLICIT_SOLVENT = False
+# --big: capacity rung (wider conditioners, more bins, more torsion
+# cross-coupling rounds).  A module global like IMPLICIT_SOLVENT because it
+# changes the architecture every phase must agree on.
+BIG = False
 
 
 def _tag(augment, marginals, residue_ar=False, neutra=False, lv=False,
@@ -41,7 +45,7 @@ def _tag(augment, marginals, residue_ar=False, neutra=False, lv=False,
     return ("_aug" if augment else "") + ("_m" if marginals else "") + (
         "_ar" if residue_ar else "") + ("_nt" if neutra else "") + (
         "_lv" if lv else "") + ("_cold" if cold else "") + (
-        "_tc" if tcond else "")
+        "_tc" if tcond else "") + ("_big" if BIG else "")
 
 
 def data_phase(n_res, n_samples=98304):
@@ -210,7 +214,9 @@ def _make_gen(n_res, data, marginals, residue_ar=False, use_pallas=None,
         n_res, data,
         use_pallas_spline=use_pallas,
         marginals_from="data",
-        torsion_cross_couplings=4, hidden=(256, 256), num_bins=16,
+        torsion_cross_couplings=6 if BIG else 4,
+        hidden=(384, 384) if BIG else (256, 256),
+        num_bins=24 if BIG else 16,
         learnable_marginals=marginals,
         torsion_scheme="residue_ar" if residue_ar else "even_odd",
         statistics=statistics,
@@ -600,6 +606,8 @@ if __name__ == "__main__":
     lv = "--lv" in flags
     cold = "--cold" in flags
     tcond = "--tcond" in flags
+    if "--big" in flags:
+        BIG = True
     if "--gbsa" in flags:
         IMPLICIT_SOLVENT = True
         ART = os.path.join(ART, "gbsa")

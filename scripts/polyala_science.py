@@ -93,6 +93,10 @@ def main():
     lv = "--lv" in flags
     cold = "--cold" in flags
     tcond = "--tcond" in flags
+    if "--big" in flags:
+        import polyala_demo as pd
+
+        pd.BIG = True
     n_eval = int(kv.get("n", 200000))
     if "--gbsa" in flags:
         # solvated pipeline: same switch + artifact redirection as
