@@ -39,14 +39,15 @@ RESULTS = os.path.join(ART, "ala2_gnn.json")
 def make_gen(data, use_pallas=None):
     from bgflow_tpu.models.ala2 import make_ala2_generator
 
-    if use_pallas is None:
-        use_pallas = jax.default_backend() == "tpu"
+    # plain XLA spline path: the GNN trunk dominates the cost and the
+    # fused-Pallas slab layout does not apply to a GNN params_net anyway
+    del use_pallas
     return make_ala2_generator(
         np.asarray(data),
         keepdims=15,  # FIXED stays a 5-atom cartesian channel for the GNN
         hidden=(128, 128),
         num_bins=8,
-        use_pallas_spline=use_pallas,
+        use_pallas_spline=False,
         fixed_gnn=True,
         gnn_kwargs=dict(gnn_features=32, gnn_layers=2, gnn_out=64, r_max=0.6),
     )
@@ -66,9 +67,13 @@ def train_phase(n_iter=12000, batch=1024, seed=1):
     if os.path.isdir(CKPT):
         shutil.rmtree(CKPT)
     t0 = time.time()
+    # scan_chunk=0: per-step dispatch.  The 500-step scanned executable with
+    # the GNN trunk in fwd+bwd stalled >30 min in remote compile (axon
+    # tunnel); the single-step program compiles in seconds and per-step
+    # dispatch costs ~30 ms — fine for a 12k-iteration run.
     params, opt_state, reporter = trainer.train(
         params, jax.random.PRNGKey(seed), n_iter, data=bg.DataSetSampler(data),
-        batchsize=batch, scan_chunk=500, progress_interval=1,
+        batchsize=batch, progress_interval=500,
         checkpoint_dir=CKPT,
     )
     from bgflow_tpu.utils.checkpoint import save_checkpoint

@@ -149,6 +149,21 @@ def main():
     finite = np.isfinite(lw)
     ess = float(bg.effective_sample_size(jnp.asarray(np.where(finite, lw, -np.inf))))
 
+    # block-resolved efficiency: the Kish ESS of a heavy-right-tailed weight
+    # distribution is dominated by the single largest weight, so one number
+    # at one n is close to meaningless (observed 30x spread between draws);
+    # the per-block median/IQR over 20k-blocks is the honest summary
+    n_blocks = max(2, n_eval // 20000)
+    size = n_eval // n_blocks
+    effs = []
+    for b in range(n_blocks):
+        blw = lw[b * size:(b + 1) * size]
+        bfin = np.isfinite(blw)
+        be = float(bg.effective_sample_size(
+            jnp.asarray(np.where(bfin, blw, -np.inf))))
+        effs.append(100.0 * be / size)
+    effs = np.asarray(effs)
+
     res = {
         "n_res": n_res,
         "config": {"augment": augment, "learnable_marginals": marginals,
@@ -156,6 +171,15 @@ def main():
         "n_eval": n_eval,
         "ess": ess,
         "sampling_efficiency_pct": 100.0 * ess / n_eval,
+        "efficiency_pct_blocks": {
+            "n_blocks": int(n_blocks),
+            "block_size": int(size),
+            "median": round(float(np.median(effs)), 4),
+            "iqr": [round(float(np.quantile(effs, 0.25)), 4),
+                    round(float(np.quantile(effs, 0.75)), 4)],
+            "min": round(float(effs.min()), 4),
+            "max": round(float(effs.max()), 4),
+        },
         "logw_std": float(np.std(lw[finite])),
         "frac_nonfinite_logw": float(1.0 - finite.mean()),
         "mean_energy_model_samples": u_sum / max(n_u, 1),
