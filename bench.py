@@ -247,6 +247,25 @@ def main():
             roof["pct_of_stream_roof"] = round(
                 100.0 * roof["achieved_hbm_gbs"] / stream_gbs, 1
             )
+        # wall-clock bracket: the chip cannot move more than the measured
+        # stream roof, so  true bytes/item <= stream_bw / items_per_sec.
+        # If the HLO estimate exceeds this bound, the path is saturating
+        # achievable bandwidth and the estimator's residual upward bias
+        # (multi-reader counting, invisible aliasing) explains the excess.
+        implied = stream_gbs * 1e9 / spline_sps
+        roof["bytes_per_item_wallclock_upper_bound"] = round(implied, 1)
+        if bytes_total:
+            est = bytes_total / n
+            roof["hbm_verdict"] = (
+                "at the achievable-bandwidth roof: the per-kernel traffic "
+                "estimate (upward-biased) meets or exceeds the wall-clock "
+                "bound, so there is no bandwidth headroom left at this "
+                "batch size"
+                if est >= 0.9 * implied
+                else f"below the roof: estimated traffic uses "
+                f"{100.0 * est / implied:.0f}% of the wall-clock bandwidth "
+                "budget — the gap is launch/VPU-bound work, not HBM"
+            )
     extra["roofline"] = roof
 
     if ON_TPU:

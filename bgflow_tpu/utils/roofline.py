@@ -170,12 +170,23 @@ def hbm_traffic_from_hlo(fn: Callable, *args, **kwargs) -> Optional[Dict[str, fl
 
         traffic = sum over kernels of (operand bytes + result bytes)
 
-    which is what the memory system actually moves (modulo double-buffered
-    reuse XLA occasionally keeps in VMEM across kernels, making this a
-    slight over-estimate, and top-level while/conditional bodies, which are
-    not walked — the flagship sampling path has none).  Returns
-    ``{"hbm_bytes": float, "n_kernels": int}`` or None if the backend does
-    not expose compiled HLO text.
+    which is what the memory system actually moves.  Three aliasing/placement
+    corrections keep it honest (each was measured to inflate the naive walk
+    on the flagship):
+
+    * ``S(1)``-annotated buffers live in VMEM (XLA memory-space assignment)
+      — they move no HBM bytes and count as 0;
+    * the ``-done`` halves of async copy pairs repeat the buffers their
+      ``-start`` already counted — skipped;
+    * ``dynamic-update-slice`` fusions update their largest operand IN
+      PLACE (XLA input/output buffer aliasing): only the inserted slice and
+      the small operands move, not two copies of the full buffer.
+
+    Residual bias is still upward (a buffer read by k kernels counts k
+    reads even when CMEM catches some; further in-place aliasing is
+    invisible in the text), and top-level while/conditional bodies are not
+    walked.  Returns ``{"hbm_bytes": float, "n_kernels": int}`` or None if
+    the backend does not expose compiled HLO text.
     """
     import re
 
@@ -201,7 +212,9 @@ def hbm_traffic_from_hlo(fn: Callable, *args, **kwargs) -> Optional[Dict[str, fl
             continue
         name, type_str, opcode, rest = mm.groups()
         name = name.lstrip("%")
-        result_bytes[name] = _shape_bytes(type_str)
+        # VMEM-resident (memory space 1) results move no HBM bytes
+        nbytes = 0.0 if "S(1)" in type_str else _shape_bytes(type_str)
+        result_bytes[name] = nbytes
         lines.append((name, opcode, rest))
     total = 0.0
     n_kernels = 0
@@ -209,8 +222,10 @@ def hbm_traffic_from_hlo(fn: Callable, *args, **kwargs) -> Optional[Dict[str, fl
     for name, opcode, rest in lines:
         if opcode in _HLO_NO_TRAFFIC:
             continue
+        if opcode.endswith("-done"):
+            # the matching -start already counted this transfer
+            continue
         n_kernels += 1
-        total += result_bytes.get(name, 0.0)  # kernel writes its result
         # operands: the first top-level parenthesized list (already split
         # open by the regex); cut at the matching close paren
         depth, end = 1, len(rest)
@@ -222,9 +237,21 @@ def hbm_traffic_from_hlo(fn: Callable, *args, **kwargs) -> Optional[Dict[str, fl
                 if depth == 0:
                     end = i
                     break
-        for op in operand_re.findall(rest[:end]):
-            if op in result_bytes:
-                total += result_bytes[op]
+        op_bytes = [
+            result_bytes[op]
+            for op in operand_re.findall(rest[:end])
+            if op in result_bytes
+        ]
+        res = result_bytes.get(name, 0.0)
+        if "dynamic-update-slice" in name or opcode == "dynamic-update-slice":
+            # in-place update of the largest operand: traffic is the
+            # inserted slice(s) written + small operands read
+            big = max(op_bytes, default=0.0)
+            # read the inserted slice sources once, write the updated
+            # region once (the big buffer itself is aliased, not copied)
+            total += 2.0 * (sum(op_bytes) - big)
+        else:
+            total += res + sum(op_bytes)
     return {"hbm_bytes": total, "n_kernels": n_kernels}
 
 
