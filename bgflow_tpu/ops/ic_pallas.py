@@ -41,13 +41,21 @@ def _reconstruct_kernel(
     plan: Tuple[Tuple[Tuple[int, int, int, int, int], ...], ...],
     n_fixed: int,
     eps: float,
+    fixed_rows: Tuple[int, ...] = None,
 ):
     # copy fixed atoms straight through (they are the first rows).  Refs are
     # (rows, lanes) in the legacy layout or (rows, 8, lanes) in the wide
     # layout — row slices give (lanes,) / (8, lanes) values; the math below
     # is shape-agnostic.  The wide layout fills all 8 VPU sublanes (a
     # (1, lanes) row computes at 1/8 of VPU width).
-    out_ref[: 3 * n_fixed] = fixed_ref[...]
+    # ``fixed_rows``: optional per-fixed-atom output row (atom-order output
+    # baked into the plan — saves the caller's gather pass); None keeps the
+    # contiguous reconstruction-order layout.
+    if fixed_rows is None:
+        out_ref[: 3 * n_fixed] = fixed_ref[...]
+    else:
+        for j, a in enumerate(fixed_rows):
+            out_ref[3 * a : 3 * a + 3] = fixed_ref[3 * j : 3 * j + 3]
 
     def get_point(i):
         return out_ref[3 * i], out_ref[3 * i + 1], out_ref[3 * i + 2]
