@@ -91,6 +91,13 @@ def make_flagship(key, transformer="spline", compute_dtype=jnp.bfloat16,
 
 
 def measure_sampling(gen, params, key, n, iters=10):
+    """Samples/s of ``gen.sample`` (see :func:`measure_sampling_fn`)."""
+    return measure_sampling_fn(
+        lambda p, k: gen.sample(p, k, n).xs[0], params, key, n, iters=iters
+    )
+
+
+def measure_sampling_fn(sample_fn, params, key, n, iters=10):
     """Samples/s via an on-device fori_loop with latency cancellation.
 
     The axon TPU tunnel's ``block_until_ready`` does NOT block (measured: a
@@ -105,7 +112,7 @@ def measure_sampling(gen, params, key, n, iters=10):
     @jax.jit
     def run(params, key, m):
         def body(i, acc):
-            x = gen.sample(params, jax.random.fold_in(key, i), n).xs[0]
+            x = sample_fn(params, jax.random.fold_in(key, i))
             # consume the WHOLE output (mean forces every element to be
             # computed — consuming one row would let XLA skip part of the
             # final epilogue) and poison the accumulator on non-finite
@@ -197,12 +204,26 @@ def main():
     key = jax.random.PRNGKey(0)
     extra = {"backend": jax.default_backend()}
 
-    # headline: the real (spline) flagship at throughput-optimal batch.
+    # headline: the real (spline) flagship at throughput-optimal batch,
+    # through the one-kernel fused sampling path (ops/sample_fused.py:
+    # hardware-PRNG prior + all couplings + IC-domain maps + whitening in a
+    # single Pallas kernel, feeding the fused wide NeRF reconstruction).
     # On the CPU fallback use the XLA spline path (interpret-mode Pallas is
     # an emulator, not a measurement) and a dispatch-amortizing batch.
     gen, params = make_flagship(key, transformer="spline", use_pallas=ON_TPU)
     n = 1024 * 1024 if ON_TPU else 16 * 1024
-    spline_sps = measure_sampling(gen, params, key, n, iters=10 if ON_TPU else 4)
+    if ON_TPU:
+        from bgflow_tpu.ops.sample_fused import make_fused_sampler
+
+        fused = make_fused_sampler(gen, lanes=2048)
+        spline_sps = measure_sampling_fn(
+            lambda p, k: fused(p, k, n)[0], params, key, n, iters=10
+        )
+        extra["unfused_samples_per_sec"] = round(
+            measure_sampling(gen, params, key, n, iters=10), 1
+        )
+    else:
+        spline_sps = measure_sampling(gen, params, key, n, iters=4)
     extra["spline_samples_per_sec"] = round(spline_sps, 1)
 
     # roofline/MFU accounting: what fraction of the chip the headline rate
@@ -211,9 +232,15 @@ def main():
     # the backend-independent jaxpr matmul count as cross-check / fallback).
     from bgflow_tpu.utils import roofline as rl
 
-    sample_fn = lambda p, k: gen.sample(p, k, n).xs[0]  # noqa: E731
-    ca = rl.xla_cost_analysis(sample_fn, params, key)
-    df = rl.dot_flops(sample_fn, params, key)
+    # FLOPs: from the UNFUSED program's jaxpr/cost-analysis — the fused
+    # kernel computes the same math but hides its matmuls inside one
+    # custom call, which neither the jaxpr walk nor cost_analysis can see.
+    sample_fn_unfused = lambda p, k: gen.sample(p, k, n).xs[0]  # noqa: E731
+    sample_fn = (  # the HEADLINE path (bytes / kernel census)
+        (lambda p, k: fused(p, k, n)[0]) if ON_TPU else sample_fn_unfused
+    )
+    ca = rl.xla_cost_analysis(sample_fn_unfused, params, key)
+    df = rl.dot_flops(sample_fn_unfused, params, key)
     flops = ca["flops"] if ca and "flops" in ca else df
     # HBM traffic: per-kernel materialization walk of the post-fusion HLO.
     # cost_analysis 'bytes accessed' counts VMEM-resident fused operands and
@@ -227,7 +254,8 @@ def main():
     )
     roof["dot_flops_per_sample"] = round(df / n, 1)
     roof["flops_source"] = (
-        "xla_cost_analysis" if ca else "jaxpr_dot_general (matmul-only lower bound)"
+        ("xla_cost_analysis" if ca else "jaxpr_dot_general (matmul-only lower bound)")
+        + (" of the equivalent unfused program" if ON_TPU else "")
     )
     if hbm:
         roof["bytes_source"] = (

@@ -185,5 +185,6 @@ from .utils.trajectory import (
 )
 from .utils.serving import export_sampler, export_energy, save_exported, load_exported
 from .nets.gnn import InvariantGNN, EquivariantGNN, EquivariantGNNL2, GNNConditioner
+from .ops.sample_fused import make_fused_sampler, FusedSampleUnsupported
 
 __version__ = "0.1.0"

@@ -305,6 +305,7 @@ def _sample_kernel(
     spec,
     Cw: int,
     debug: bool,
+    n_streams: int = 1,
 ):
     """refs layout:
       [seed (SMEM, 3 ints)] if not debug else [u (rows_u, Cw)]
@@ -312,9 +313,13 @@ def _sample_kernel(
       then map constants (per field, variable count)
       then t_blacken (Kp, Mp), mean (Mp, 1)
       outs: bonds, angles, torsions (D, Cw) each, fixed (M, Cw), ldj (1, Cw)
+
+    ``n_streams > 1`` splits the tile into independent lane slices whose
+    computations interleave at the instruction level — the MXU matmuls of
+    one stream overlap the VPU spline math of the other (the per-stream
+    chains share no data).
     """
     field_dims = spec["field_dims"]
-    n_fields = len(field_dims)
     mixed = spec["mixed"]
     fo = mixed["order"]  # (bonds_f, angles_f, torsions_f, fixed_f)
 
@@ -335,29 +340,51 @@ def _sample_kernel(
     ldj_ref = next(it)
 
     Dps = [_round_up(d, 8) for d in field_dims]
+    assert Cw % n_streams == 0
+    Ws = Cw // n_streams
+    for si in range(n_streams):
+        _sample_stream(
+            spec, seed_or_u, wrefs, mrefs, tb_ref, mean_ref, out_refs,
+            ldj_ref, Dps, debug=debug, lo=si * Ws, Wl=Ws,
+            stream_tag=si, n_streams=n_streams,
+        )
+
+
+def _sample_stream(
+    spec, seed_or_u, wrefs, mrefs, tb_ref, mean_ref, out_refs, ldj_ref, Dps,
+    *, debug: bool, lo: int, Wl: int, stream_tag: int, n_streams: int,
+):
+    field_dims = spec["field_dims"]
+    mixed = spec["mixed"]
+    fo = mixed["order"]
 
     # ---- prior: uniforms in [0,1) per field ----
     if debug:
         off = 0
         state = []
         for fi, d in enumerate(field_dims):
-            state.append(seed_or_u[off:off + d])
+            state.append(seed_or_u[off:off + d, lo:lo + Wl])
             off += d
         # pad rows to Dp with 0.5
         state = [
-            jnp.concatenate([s, jnp.full((Dps[fi] - field_dims[fi], Cw), 0.5,
+            jnp.concatenate([s, jnp.full((Dps[fi] - field_dims[fi], Wl), 0.5,
                                          jnp.float32)], axis=0)
             if Dps[fi] != field_dims[fi] else s
             for fi, s in enumerate(state)
         ]
     else:
         step = pl.program_id(0)
-        # hardware seed takes at most 2 words: mix the grid step into the
-        # second with an odd multiplicative hash (distinct per tile)
-        pltpu.prng_seed(seed_or_u[0], seed_or_u[1] + step * jnp.int32(-1640531527))
+        # hardware seed takes at most 2 words: mix (tile, stream) into the
+        # second with an odd multiplicative hash (distinct per slice)
+        pltpu.prng_seed(
+            seed_or_u[0],
+            seed_or_u[1]
+            + (step * jnp.int32(n_streams) + jnp.int32(stream_tag))
+            * jnp.int32(-1640531527),
+        )
         state = []
         for fi, d in enumerate(field_dims):
-            bits = pltpu.bitcast(pltpu.prng_random_bits((Dps[fi], Cw)), jnp.uint32)
+            bits = pltpu.bitcast(pltpu.prng_random_bits((Dps[fi], Wl)), jnp.uint32)
             # top 24 bits -> uniform [0, 1): logical shift on uint32, then
             # reinterpret as (always-positive) int32 — Mosaic has no
             # uint32->f32 cast
@@ -365,10 +392,10 @@ def _sample_kernel(
                 1.0 / (1 << 24))
             state.append(u)
 
-    ldj = jnp.zeros((1, Cw), jnp.float32)
+    ldj = jnp.zeros((1, Wl), jnp.float32)
 
     def row_mask(Dp, D):
-        return jax.lax.broadcasted_iota(jnp.int32, (Dp, Cw), 0) < D
+        return jax.lax.broadcasted_iota(jnp.int32, (Dp, Wl), 0) < D
 
     def masked_rowsum(x, D):
         Dp = x.shape[0]
@@ -437,15 +464,15 @@ def _sample_kernel(
 
         # precompute cos/sin tiles for circular source fields (full width)
         trig_cache = {}
-        h = jnp.broadcast_to(b1, (b1.shape[0], Cw))
-        for transform, fi, lo, hi, col in segs:
+        h = jnp.broadcast_to(b1, (b1.shape[0], Wl))
+        for transform, fi, r0, r1, col in segs:
             tile = state[fi]
             if transform in ("cos", "sin"):
                 if fi not in trig_cache:
                     arg = (2.0 * math.pi) * tile
                     trig_cache[fi] = (jnp.cos(arg), jnp.sin(arg))
                 tile = trig_cache[fi][0 if transform == "cos" else 1]
-            h = h + mm(w1t[:, col:col + (hi - lo)], tile[lo:hi])
+            h = h + mm(w1t[:, col:col + (r1 - r0)], tile[r0:r1])
         act0 = blk["activations"][0]
         if act0 is not None:
             h = act0(h)
@@ -525,11 +552,11 @@ def _sample_kernel(
         preferred_element_type=jnp.float32,
     ) + mean_ref[...]
 
-    out_refs[0][...] = bonds[:field_dims[fb]]
-    out_refs[1][...] = angles[:field_dims[fa]]
-    out_refs[2][...] = torsions[:field_dims[ft]]
-    out_refs[3][...] = x_fixed[:out_refs[3].shape[0]]
-    ldj_ref[...] = ldj
+    out_refs[0][:, lo:lo + Wl] = bonds[:field_dims[fb]]
+    out_refs[1][:, lo:lo + Wl] = angles[:field_dims[fa]]
+    out_refs[2][:, lo:lo + Wl] = torsions[:field_dims[ft]]
+    out_refs[3][:, lo:lo + Wl] = x_fixed[:out_refs[3].shape[0]]
+    ldj_ref[:, lo:lo + Wl] = ldj
 
 
 # ---------------------------------------------------------------------------
@@ -544,14 +571,17 @@ def _column_const(v, rows):
     return jnp.asarray(out)
 
 
-def make_fused_sampler(gen, lanes: int = 1024, interpret: Optional[bool] = None):
+def make_fused_sampler(gen, lanes: int = 1024, interpret: Optional[bool] = None,
+                       n_streams: int = 1):
     """Compile-ready fused sampler for a supported generator.
 
     Returns ``fn(params, key, n, debug_u=None) -> (x (n, n_atoms*3), dlogp
     (n,))`` — a drop-in for the sampling direction of
     ``gen.flow.forward(gen.prior.sample(...))`` with the prior drawn from
     the TPU hardware PRNG (``debug_u`` (n, sum_dims) feeds explicit
-    uniforms instead, for validation).
+    uniforms instead, for validation).  ``n_streams``: independent lane
+    slices per tile whose instruction streams interleave (MXU of one
+    overlaps VPU of the other).
     """
     spec = extract_spec(gen)
     field_dims = spec["field_dims"]
@@ -602,6 +632,7 @@ def make_fused_sampler(gen, lanes: int = 1024, interpret: Optional[bool] = None)
 
         kernel = functools.partial(
             _sample_kernel, spec=spec, Cw=Cw, debug=debug,
+            n_streams=n_streams,
         )
         grid = (B // Cw,)
         const = lambda a: pl.BlockSpec(
