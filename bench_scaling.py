@@ -32,8 +32,8 @@ from jax import shard_map
 from jax.sharding import NamedSharding, PartitionSpec as P
 
 import bgflow_tpu as bg
-from bgflow_tpu.parallel.mesh import make_mesh
-from bgflow_tpu.utils.profiling import measure_op
+from bgflow_tpu.parallel.mesh import make_mesh, make_sharded_sampler
+from bgflow_tpu.utils.profiling import measure_op_stats
 from bench import make_flagship
 
 ON_TPU = jax.default_backend() == "tpu"
@@ -50,15 +50,24 @@ def _consume(tree):
 
 
 def measure_sampling(mesh, gen, params, key, n_devices):
+    """Explicitly sharded sampling (``make_sharded_sampler``).
+
+    Round 4 ran plain ``gen.sample`` under the mesh and trusted GSPMD to
+    partition it; HLO inspection showed it did not (zero collectives, no
+    partition-id — the whole computation was REPLICATED on every device),
+    which is why the r4 'sampling weak scaling' collapsed 38x at 8 virtual
+    devices: every device computed the full 8-device batch under host
+    contention.  With the shard_map sampler each device draws only its own
+    sub-batch."""
     n = SAMPLE_BATCH_PER_DEVICE * n_devices
     params_r = jax.device_put(params, NamedSharding(mesh, P()))
+    sampler = make_sharded_sampler(mesh, gen, n)
 
     def fn(i, params):
-        return gen.sample(params, jax.random.fold_in(key, i), n).xs[0]
+        return sampler(params, jax.random.fold_in(key, i)).xs[0]
 
     with mesh:
-        dt = measure_op(fn, params_r, iters=8 if ON_TPU else 3)
-    return dt
+        return measure_op_stats(fn, params_r, iters=8 if ON_TPU else 3)
 
 
 def measure_train(mesh, gen, params, key, n_devices, with_comm):
@@ -92,8 +101,7 @@ def measure_train(mesh, gen, params, key, n_devices, with_comm):
         return sharded(params, xb * (1.0 + 0.0 * i))
 
     with mesh:
-        dt = measure_op(fn, params_r, x, iters=8 if ON_TPU else 3)
-    return dt
+        return measure_op_stats(fn, params_r, x, iters=8 if ON_TPU else 3)
 
 
 def main():
@@ -124,29 +132,44 @@ def main():
 
     counts = [c for c in (1, 2, 4, 8, 16, 32, 64) if c <= n_available]
     t_sample_1 = t_train_1 = None
+
+    def block(stats, t_ref):
+        """Timing block: median step time with (lo, hi) spread; the timer
+        escalates iterations until the two-length difference is positive
+        and stable, and flags unresolved measurements instead of ever
+        emitting a negative time (r4 defect: SCALING_r04 dp_train anchor
+        was -0.197 ms)."""
+        t = stats["dt"]
+        out = {
+            "step_time_ms": round(1e3 * t, 3),
+            "step_time_ms_spread": [round(1e3 * stats["dt_lo"], 3),
+                                    round(1e3 * stats["dt_hi"], 3)],
+            "timer_iters": stats["iters"],
+            "step_time_ratio_vs_1dev": round(t / t_ref, 3),
+            "weak_scaling_efficiency": round(t_ref / t, 3),
+        }
+        if not stats["resolved"]:
+            out["unresolved_timing"] = True
+        return out
+
     for c in counts:
         mesh = make_mesh(c)
-        t_s = measure_sampling(mesh, gen, params, key, c)
-        t_full = measure_train(mesh, gen, params, key, c, with_comm=True)
-        t_local = measure_train(mesh, gen, params, key, c, with_comm=False)
+        s_s = measure_sampling(mesh, gen, params, key, c)
+        s_full = measure_train(mesh, gen, params, key, c, with_comm=True)
+        s_local = measure_train(mesh, gen, params, key, c, with_comm=False)
+        t_s, t_full, t_local = s_s["dt"], s_full["dt"], s_local["dt"]
         if t_sample_1 is None:
             t_sample_1, t_train_1 = t_s, t_full
         comm_frac = max(0.0, (t_full - t_local) / t_full) if c > 1 else 0.0
+        samp = block(s_s, t_sample_1)
+        samp["samples_per_sec"] = round(SAMPLE_BATCH_PER_DEVICE * c / t_s, 1)
+        train = block(s_full, t_train_1)
+        train["comm_fraction_est"] = round(comm_frac, 3)
+        train["param_bytes"] = int(param_bytes)
         print(json.dumps({
             "devices": c,
-            "sampling": {
-                "samples_per_sec": round(SAMPLE_BATCH_PER_DEVICE * c / t_s, 1),
-                "step_time_ms": round(1e3 * t_s, 3),
-                "step_time_ratio_vs_1dev": round(t_s / t_sample_1, 3),
-                "weak_scaling_efficiency": round(t_sample_1 / t_s, 3),
-            },
-            "dp_train": {
-                "step_time_ms": round(1e3 * t_full, 3),
-                "step_time_ratio_vs_1dev": round(t_full / t_train_1, 3),
-                "weak_scaling_efficiency": round(t_train_1 / t_full, 3),
-                "comm_fraction_est": round(comm_frac, 3),
-                "param_bytes": int(param_bytes),
-            },
+            "sampling": samp,
+            "dp_train": train,
             "host_contention": host_contention,
         }))
 

@@ -127,3 +127,37 @@ def replicate(mesh: Mesh, tree):
 def data_parallel_shardings(mesh: Mesh, axis_name: str = "dp"):
     """(replicated, batch-sharded) NamedShardings for jit in/out specs."""
     return NamedSharding(mesh, P()), NamedSharding(mesh, P(axis_name))
+
+
+def make_sharded_sampler(mesh: Mesh, gen, n: int, axis_name: str = "dp",
+                         **sample_kwargs):
+    """Explicitly sharded BG sampling: each device draws its own sub-batch.
+
+    Round-4's scaling bench ran ``gen.sample`` under a mesh context and
+    trusted GSPMD to partition it — it did NOT: with replicated params and
+    an unconstrained PRNG there is nothing tying the batch axis to the
+    mesh, so the compiler replicated the ENTIRE computation on every
+    device (verified: the compiled HLO contains zero collectives and no
+    partition-id — every device computed all ``n`` samples).  Sampling is
+    embarrassingly parallel; this helper makes that explicit with
+    ``shard_map``: each shard folds its ``axis_index`` into the key and
+    draws ``n // n_devices`` samples; outputs are batch-sharded.
+
+    Returns ``fn(params, key) -> SampleOutput`` (jit-compatible).
+    """
+    from jax import shard_map
+
+    n_dev = int(np.prod(mesh.devices.shape))
+    if n % n_dev:
+        raise ValueError(f"n={n} not divisible by mesh size {n_dev}")
+    n_local = n // n_dev
+
+    def local(params, key):
+        idx = jax.lax.axis_index(axis_name)
+        sub = jax.random.fold_in(key, idx)
+        return gen.sample(params, sub, n_local, **sample_kwargs)
+
+    return shard_map(
+        local, mesh=mesh, in_specs=(P(), P()), out_specs=P(axis_name),
+        check_vma=False,
+    )

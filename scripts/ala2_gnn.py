@@ -32,8 +32,19 @@ import bgflow_tpu as bg
 
 ART = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "artifacts")
 DATA_PATH = os.path.join(ART, "ala2_exact_data.npz")
-CKPT = os.path.join(ART, "ala2_gnn_ckpt")
-RESULTS = os.path.join(ART, "ala2_gnn.json")
+
+# round-5 default: keepdims=9 — the round-4 run proved the whitened FIXED
+# field at keepdims=15 forces the flow to model 6 noise-amplified
+# rigid-body dims (artifacts/ala2_gnn.json analysis); with keepdims=9 the
+# flow models only internal dof while the GNN still sees full 5-atom
+# physical geometry through the rectangular de-whitening map
+# (t_blacken: R^9 -> R^15).
+KEEPDIMS = int(os.environ.get("GNN_KEEPDIMS", "9"))
+GNN_TYPE = os.environ.get("GNN_TYPE", "invariant")
+_SUFFIX = ("" if KEEPDIMS == 15 else f"_k{KEEPDIMS}") + (
+    "" if GNN_TYPE == "invariant" else f"_{GNN_TYPE}")
+CKPT = os.path.join(ART, f"ala2_gnn_ckpt{_SUFFIX}")
+RESULTS = os.path.join(ART, f"ala2_gnn{_SUFFIX}.json")
 
 
 def make_gen(data, use_pallas=None):
@@ -44,12 +55,13 @@ def make_gen(data, use_pallas=None):
     del use_pallas
     return make_ala2_generator(
         np.asarray(data),
-        keepdims=15,  # FIXED stays a 5-atom cartesian channel for the GNN
+        keepdims=KEEPDIMS,
         hidden=(128, 128),
         num_bins=8,
         use_pallas_spline=False,
         fixed_gnn=True,
-        gnn_kwargs=dict(gnn_features=32, gnn_layers=2, gnn_out=64, r_max=0.6),
+        gnn_kwargs=dict(gnn_features=32, gnn_layers=2, gnn_out=64, r_max=0.6,
+                        gnn_type=GNN_TYPE),
     )
 
 
@@ -125,7 +137,7 @@ def eval_phase(n_eval=100000, seed=7):
     phi_d, _ = phi_psi(data[:50000])
     res = {
         "n_eval": n_eval,
-        "conditioner": "InvariantGNN (torsions | fixed-atom channel)",
+        "conditioner": f"{GNN_TYPE}GNN (torsions | fixed channel, keepdims={KEEPDIMS})",
         "ess": round(ess, 2),
         "sampling_efficiency_pct": round(100.0 * ess / n_eval, 4),
         "logw_std": round(float(np.std(lw[finite])), 3),
