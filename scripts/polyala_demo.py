@@ -367,6 +367,40 @@ def train_phase(n_res, n_iter=24000, batch=1024, augment=False, marginals=False,
             nd = _filter_frozen_chains(nb["data"], nb["energies"])
             data = np.concatenate([data, nd.astype(data.dtype)])
             temps = np.concatenate([temps, np.ones(len(nd), np.float32)])
+        if augment:
+            # stack the coverage augmentation ON TOP of tcond (VERDICT r5
+            # item 2): ladder frames keep per-rung temperatures and a
+            # 70% uniform block mass; umbrella frames (per-dihedral sweeps
+            # + optionally the tail-targeted windows of
+            # ``r5_ala3_campaign.py``) enter as T=1 data with their
+            # bin-flattened MBAR weights.  Weighted sampling is confined to
+            # the umbrella blocks (locally Boltzmann, marginally flat), so
+            # the MBAR weight-concentration failure mode of all-rung
+            # weighted NLL does not reappear.
+            lw_parts = [np.full(len(data), np.log(0.70 / len(data)), np.float64)]
+            x_parts, t_parts = [data], [temps]
+            aug_x, aug_lw = _augmented_training_set(n_res, include_exact=False)
+            aug_lw = aug_lw.astype(np.float64)
+            aug_lw = aug_lw - np.logaddexp.reduce(aug_lw)
+            tgt_path = os.path.join(ART, f"polyala{n_res}_umbrella_tgt.npz")
+            if os.path.exists(tgt_path):
+                tgt = np.load(tgt_path)
+                tgt_x = tgt["frames"].astype(np.float32)
+                tgt_lw = tgt["log_weights"].astype(np.float64)
+                keep = np.isfinite(tgt_lw)
+                tgt_x, tgt_lw = tgt_x[keep], tgt_lw[keep]
+                tgt_lw = tgt_lw - np.logaddexp.reduce(tgt_lw) + np.log(0.12)
+                x_parts += [aug_x, tgt_x]
+                lw_parts += [aug_lw + np.log(0.18), tgt_lw]
+                t_parts += [np.ones(len(aug_x), np.float32),
+                            np.ones(len(tgt_x), np.float32)]
+            else:
+                x_parts.append(aug_x)
+                lw_parts.append(aug_lw + np.log(0.30))
+                t_parts.append(np.ones(len(aug_x), np.float32))
+            data = np.concatenate(x_parts).astype(np.float32)
+            temps = np.concatenate(t_parts)
+            log_w = np.concatenate(lw_parts).astype(np.float32)
     else:
         data, log_w = _training_set(n_res, augment, neutra, marginals, residue_ar, cold=cold)
     if augment and not neutra:
@@ -382,7 +416,9 @@ def train_phase(n_res, n_iter=24000, batch=1024, augment=False, marginals=False,
         optimizer=optax.adam(optax.cosine_decay_schedule(1e-3, n_iter, 1e-2)),
     )
     if tcond:
-        sampler = bg.DataSetSampler(jnp.asarray(data), jnp.asarray(temps))
+        sampler = bg.DataSetSampler(
+            jnp.asarray(data), jnp.asarray(temps),
+            log_weights=None if log_w is None else jnp.asarray(log_w))
     else:
         sampler = bg.DataSetSampler(jnp.asarray(data), log_weights=(
             None if log_w is None else jnp.asarray(log_w)))

@@ -93,6 +93,7 @@ def main():
     lv = "--lv" in flags
     cold = "--cold" in flags
     tcond = "--tcond" in flags
+    residue_ar = "--ar" in flags
     if "--big" in flags:
         import polyala_demo as pd
 
@@ -113,10 +114,10 @@ def main():
         data = np.load(os.path.join(ART, f"polyala{n_res}_data.npz"))["data"]
     else:
         data, _ = _training_set(n_res, augment, neutra, marginals, cold=cold)
-    tag = _tag(augment, marginals, False, neutra, lv, cold, tcond)
+    tag = _tag(augment, marginals, residue_ar, neutra, lv, cold, tcond)
     ckpt = os.path.join(ART, f"polyala{n_res}_ckpt{tag}")
-    gen = _make_gen(n_res, data, marginals, statistics=_load_stats(ckpt),
-                    tcond=tcond)
+    gen = _make_gen(n_res, data, marginals, residue_ar,
+                    statistics=_load_stats(ckpt), tcond=tcond)
     params = restore_checkpoint(ckpt)["params"]
 
     seq = ["ACE"] + ["ALA"] * n_res + ["NME"]
@@ -167,7 +168,8 @@ def main():
     res = {
         "n_res": n_res,
         "config": {"augment": augment, "learnable_marginals": marginals,
-                   "neutra": neutra, "lv": lv, "cold": cold, "tcond": tcond},
+                   "neutra": neutra, "lv": lv, "cold": cold, "tcond": tcond,
+                   "residue_ar": residue_ar},
         "n_eval": n_eval,
         "ess": ess,
         "sampling_efficiency_pct": 100.0 * ess / n_eval,
