@@ -40,8 +40,15 @@ import bgflow_tpu as bg
 
 ART = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "artifacts")
 DATA_PATH = os.path.join(ART, "lj13_data.npz")
-CKPT = os.path.join(ART, "lj13_ckpt")
-RESULTS = os.path.join(ART, "lj13_science.json")
+
+# round-5 capacity sweep knobs (VERDICT r4 item 5): architecture via env so
+# every variant keeps its own checkpoint/results file
+N_BLOCKS = int(os.environ.get("LJ13_BLOCKS", "8"))
+N_RBF = int(os.environ.get("LJ13_RBF", "32"))
+_SUFFIX = ("" if (N_BLOCKS, N_RBF) == (8, 32) else f"_b{N_BLOCKS}_r{N_RBF}") + \
+    os.environ.get("LJ13_TAG", "")
+CKPT = os.path.join(ART, f"lj13_ckpt{_SUFFIX}")
+RESULTS = os.path.join(ART, f"lj13_science{_SUFFIX}.json")
 
 N, D = 13, 3
 DIM = N * D
@@ -145,7 +152,9 @@ def data_phase(n_samples=131072, n_ladders=128, seed=0,
     np.savez_compressed(DATA_PATH, data=data, energies=u)
 
 
-def make_gen(n_blocks=8, n_rbf=32, hidden=(128, 128), high_energy=1e3):
+def make_gen(n_blocks=None, n_rbf=None, hidden=(128, 128), high_energy=1e3):
+    n_blocks = N_BLOCKS if n_blocks is None else n_blocks
+    n_rbf = N_RBF if n_rbf is None else n_rbf
     lj = make_target()
     target = bg.ProductEnergy([
         bg.LinLogCutEnergy(lj, high_energy=high_energy, max_energy=1e9),
