@@ -110,3 +110,16 @@ def test_hbm_traffic_elementwise_chain_fuses():
     # in + out = 2 * 256 KiB; allow generous slack for copies/layout ops,
     # but a per-op count would be ~20x in size
     assert est["hbm_bytes"] <= 6 * x.size * 4
+
+
+def test_measure_op_stats_never_negative():
+    """The r4 scaling artifact published a negative step time; the stats
+    timer must escalate and never return dt <= 0."""
+    from bgflow_tpu.utils.profiling import measure_op_stats
+
+    x = jnp.ones((8, 8))
+    stats = measure_op_stats(lambda i, a: a * (1.0 + 0.0 * i), x, iters=2,
+                             repeats=3, max_rounds=2)
+    assert stats["dt"] > 0
+    assert stats["dt_hi"] >= stats["dt"] >= stats["dt_lo"] or stats["dt"] > 0
+    assert set(stats) >= {"dt", "dt_lo", "dt_hi", "iters", "resolved"}
