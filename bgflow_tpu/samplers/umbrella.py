@@ -93,7 +93,10 @@ class UmbrellaSampling:
         self.energy = energy
         self.cv = cv
         self.centers = jnp.asarray(centers)
-        self.k_umbrella = float(k_umbrella)
+        # scalar, per-dimension (D,), or per-window (K, 1) force constants
+        # (per-window: e.g. softer springs for joint multi-CV windows)
+        _k = jnp.asarray(k_umbrella)
+        self.k_umbrella = float(_k) if _k.ndim == 0 else _k
         self.cv_period = cv_period
         self.cv_mask = None if cv_mask is None else jnp.asarray(cv_mask)
         self.biased = BiasedEnergy(
@@ -132,7 +135,10 @@ class UmbrellaSampling:
             d = _cv_displacement(
                 cv_vals[None, :, :], self.centers[:, None, :], self.cv_period
             )
-            b = 0.5 * self.k_umbrella * d**2
+            k = self.k_umbrella
+            if isinstance(k, jnp.ndarray) and k.ndim == 2:
+                k = k[:, None, :]  # per-window (K, 1) -> (K, 1, 1)
+            b = 0.5 * k * d**2
             if self.cv_mask is not None:
                 b = b * self.cv_mask[:, None, :]
             return jnp.sum(b, axis=-1)

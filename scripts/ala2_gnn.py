@@ -69,12 +69,16 @@ def train_phase(n_iter=12000, batch=1024, seed=1):
     import optax
     import shutil
 
+    lr = float(os.environ.get("GNN_LR", "1e-3"))
     data = jnp.asarray(np.load(DATA_PATH)["data"])
     gen = make_gen(data)
     params = gen.init(jax.random.PRNGKey(0))
     trainer = bg.KLTrainer(
         gen, train_energy=False,
-        optimizer=optax.adam(optax.cosine_decay_schedule(1e-3, n_iter, 1e-2)),
+        optimizer=optax.chain(
+            optax.clip_by_global_norm(50.0),
+            optax.adam(optax.cosine_decay_schedule(lr, n_iter, 1e-2)),
+        ),
     )
     if os.path.isdir(CKPT):
         shutil.rmtree(CKPT)
@@ -159,15 +163,15 @@ def eval_phase(n_eval=100000, seed=7):
 if __name__ == "__main__":
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
     kv = dict(f.lstrip("-").split("=", 1) for f in sys.argv[1:] if f.startswith("--") and "=" in f)
-    phase = args[0] if args else "all"
+    phases = set(args) if args else {"all"}
     tkw = {}
     if "iters" in kv:
         tkw["n_iter"] = int(kv["iters"])
-    if phase in ("data", "all") and not os.path.exists(DATA_PATH):
+    if phases & {"data", "all"} and not os.path.exists(DATA_PATH):
         import ala2_science
 
         ala2_science.gen_data()
-    if phase in ("train", "all"):
+    if phases & {"train", "all"}:
         train_phase(**tkw)
-    if phase in ("eval", "all"):
+    if phases & {"eval", "all"}:
         eval_phase()
