@@ -365,21 +365,21 @@ if __name__ == "__main__":
     unknown = set(kv) - {"iters", "batch", "lv"}
     if unknown:
         raise SystemExit(f"unknown flag(s): {sorted(unknown)}")
-    phase = args[0] if args else "all"
+    phases = set(args) if args else {"all"}
     tkw = {}
     if "iters" in kv:
         tkw["n_iter"] = int(kv["iters"])
     if "batch" in kv:
         tkw["batch"] = int(kv["batch"])
-    if phase in ("data", "all"):
+    if phases & {"data", "all"}:
         data_phase()
-    if phase in ("train", "all"):
+    if phases & {"train", "all"}:
         train_phase(**tkw)
-    if phase in ("eval", "all"):
+    if phases & {"eval", "all"}:
         eval_phase()
-    if phase == "finetune":
+    if "finetune" in phases:
         finetune_phase(**tkw)
-    if phase == "eval_lv":
+    if "eval_lv" in phases:
         eval_lv_phase()
-    if phase == "perturb":
+    if "perturb" in phases:
         perturb_phase(from_lv="--lv" in flags)
