@@ -35,6 +35,10 @@ VARIANTS = [
     ("features", 8, 64, None),
     ("both", 12, 64, None),
     ("long", 8, 32, 48000),
+    # round-5 extension: depth was the live lever (8 -> 12 blocks doubled
+    # efficiency; features flat; longer training hurt) — push the axis
+    ("depth16", 16, 32, None),
+    ("depth20", 20, 32, None),
 ]
 
 
