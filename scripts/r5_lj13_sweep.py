@@ -39,6 +39,8 @@ VARIANTS = [
     # efficiency; features flat; longer training hurt) — push the axis
     ("depth16", 16, 32, None),
     ("depth20", 20, 32, None),
+    ("depth24", 24, 32, None),
+    ("depth28", 28, 32, None),
 ]
 
 
